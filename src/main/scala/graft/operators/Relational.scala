@@ -1,0 +1,325 @@
+package graft.operators
+
+import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator suite re-expressing the reference's filter / dedup /
+  * join / aggregation semantics (SURVEY.md §2.3-§2.7) over the driver's
+  * TPC-H-ish tables.
+  *
+  * Scale notes (100 TB design intent):
+  *  - aggregations are plain `groupBy` → Catalyst plans partial (map-side)
+  *    aggregation automatically, so the shuffle carries pre-combined rows;
+  *  - dimension joins (`nation`, `region`, `customer`) are explicitly
+  *    `broadcast()` — no shuffle of the fact side;
+  *  - double sums go through `Decimal(28,6)` so results are
+  *    order-independent (bit-exact under any partitioning / AQE re-plan),
+  *    which is what makes them checkable against a single-threaded oracle
+  *    AND reproducible on a 1000-executor cluster;
+  *  - first-wins dedup (reference `toolbox.py:192-209`, O(n²) list scan) is
+  *    re-expressed as one shuffle: window `row_number` over the dedup key
+  *    ordered by the discovery sequence.
+  */
+object Relational {
+  private val Dec = DecimalType(28, 6)
+  /** Exact, order-independent sum of a double column (bit-stable at any
+    * parallelism): sum in decimal, surface as double.
+    */
+  private def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
+
+  import Tables.t
+
+  def entries: Seq[QueryEntry] = Seq(
+    // ---- A-ops: aggregation --------------------------------------------
+    QueryEntry(
+      "q_agg_pricing",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("sum_disc_price"),
+            (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+            count(lit(1)).as("count_order"),
+          )
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+        CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_qty,
+        count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+    ),
+    // ---- F-ops: filter + projection (pushed to the parquet scan) --------
+    QueryEntry(
+      "q_filter_pushdown",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .filter(
+            col("l_shipdate") < lit("1996-06-01").cast("timestamp")
+              && col("l_discount") > lit(0.05))
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1996-06-01' AND l_discount > 0.05
+        ORDER BY l_orderkey, l_linenumber"""),
+    ),
+    // ---- J-ops: star join, dimensions broadcast -------------------------
+    QueryEntry(
+      "q_join_agg",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(dsum(col("o_totalprice")).as("revenue"),
+               count(lit(1)).as("n_orders"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""SELECT r_name, n_name,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name"""),
+    ),
+    QueryEntry(
+      "q_left_join_agg",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_orders"),
+               coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+        coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 0.0) AS total_spent
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey ORDER BY c_custkey"""),
+    ),
+    // semi / anti joins: the reference's isin / ~isin removal semantics
+    // (false-positive removal, toolbox.py:390-418) → left_semi / left_anti.
+    QueryEntry(
+      "q_semi_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val f = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        c.join(f, c("c_custkey") === f("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        ORDER BY c_custkey"""),
+    ),
+    QueryEntry(
+      "q_anti_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val big = t(s, dir, "orders").filter(col("o_totalprice") > lit(150000.0))
+        c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name", "c_acctbal")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > CAST(150000.0 AS DOUBLE))
+        ORDER BY c_custkey"""),
+    ),
+    // ---- A1: false-positive detector (groupBy + collect_set + intersect)
+    // reference core/toolbox.py:328-387 re-keyed onto the events table:
+    // "datasets" = users in the first 6 crawl-hours, "md file types" =
+    // {purchase, signup}; a user is false-positive iff intersection empty.
+    QueryEntry(
+      "q_false_positive",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .filter(col("ts") < lit("2024-01-01 06:00:00").cast("timestamp"))
+        ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("total_events"),
+               collect_set(col("event_type")).as("ets"))
+          .filter(size(array_intersect(col("ets"),
+            lit(Array("purchase", "signup")))) === 0)
+          .select(col("user_id"), col("total_events"),
+                  concat_ws(",", sort_array(col("ets"))).as("unique_event_types"))
+          .orderBy(desc("total_events"), col("user_id"))
+      },
+      Some("""SELECT user_id, count(*) AS total_events,
+        string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS unique_event_types
+        FROM events WHERE ts < TIMESTAMP '2024-01-01 06:00:00'
+        GROUP BY user_id
+        HAVING sum(CASE WHEN event_type IN ('purchase','signup') THEN 1 ELSE 0 END) = 0
+        ORDER BY total_events DESC, user_id"""),
+    ),
+    // ---- A3: per-origin rollup with grand-total row ----------------------
+    QueryEntry(
+      "q_rollup",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .rollup(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+               dsum(col("o_totalprice")).as("total"))
+          .select(coalesce(col("o_orderpriority"), lit("TOTAL")).as("priority"),
+                  col("n_orders"), col("total"))
+          .orderBy("priority")
+      },
+      Some("""SELECT coalesce(o_orderpriority, 'TOTAL') AS priority,
+        count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+        FROM orders GROUP BY ROLLUP(o_orderpriority) ORDER BY priority"""),
+    ),
+    // ---- A4: timeline (year buckets) -------------------------------------
+    QueryEntry(
+      "q_timeline",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .withColumn("yr", year(col("o_orderdate")).cast("long"))
+          .groupBy(col("yr"))
+          .agg(countDistinct(col("o_custkey")).as("active_customers"),
+               count(lit(1)).as("n_orders"),
+               dsum(col("o_totalprice")).as("total"))
+          .orderBy("yr")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        count(DISTINCT o_custkey) AS active_customers,
+        count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+        FROM orders GROUP BY 1 ORDER BY yr"""),
+    ),
+    // ---- D1/D2: order-preserving first-wins dedup ------------------------
+    // reference toolbox.py:192-209 keeps the FIRST occurrence in encounter
+    // order; here the encounter order is (ts, event_id) per (user, type).
+    QueryEntry(
+      "q_dedup_first_wins",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("user_id", "event_type", "event_id", "value")
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT user_id, event_type, event_id, value FROM (
+          SELECT user_id, event_type, event_id, value,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS rn
+          FROM events) WHERE rn = 1 ORDER BY user_id, event_type"""),
+    ),
+    // ---- D6: exact distinct on a projection ------------------------------
+    QueryEntry(
+      "q_dedup_exact",
+      (s, dir) =>
+        t(s, dir, "documents").select("lang", "source").distinct()
+          .orderBy("lang", "source"),
+      Some("SELECT DISTINCT lang, source FROM documents ORDER BY lang, source"),
+    ),
+    // ---- F3: exclusion filter (path-substring then basename-startswith) --
+    // reference core/toolbox.py:265-325; filenames synthesized
+    // deterministically from the documents table.
+    QueryEntry(
+      "q_exclusion_filter",
+      (s, dir) => {
+        val names = t(s, dir, "documents").select(
+          col("doc_id"),
+          concat(
+            when(col("doc_id") % 7 === 0, lit("__MACOSX/")).otherwise(lit("")),
+            lit("data/"), col("source"), lit("/"),
+            when(col("doc_id") % 11 === 0, lit(".")).otherwise(lit("")),
+            lit("doc_"), col("doc_id"),
+            when(col("doc_id") % 5 === 0, lit(".gro"))
+              .when(col("doc_id") % 5 === 1, lit(".mdp"))
+              .when(col("doc_id") % 5 === 2, lit(".tar.gz"))
+              .when(col("doc_id") % 5 === 3, lit(""))
+              .otherwise(lit(".zip")),
+          ).as("file_name"))
+        excludeFiles(names, Seq("__MACOSX", ".git"), Seq("."))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, file_name FROM (
+          SELECT doc_id,
+            concat(CASE WHEN doc_id % 7 = 0 THEN '__MACOSX/' ELSE '' END,
+                   'data/', source, '/',
+                   CASE WHEN doc_id % 11 = 0 THEN '.' ELSE '' END,
+                   'doc_', CAST(doc_id AS VARCHAR),
+                   CASE WHEN doc_id % 5 = 0 THEN '.gro'
+                        WHEN doc_id % 5 = 1 THEN '.mdp'
+                        WHEN doc_id % 5 = 2 THEN '.tar.gz'
+                        WHEN doc_id % 5 = 3 THEN ''
+                        ELSE '.zip' END) AS file_name
+          FROM documents)
+        WHERE position('__MACOSX' IN file_name) = 0
+          AND position('.git' IN file_name) = 0
+          AND NOT starts_with(regexp_extract(file_name, '([^/]*)$', 1), '.')
+        ORDER BY doc_id"""),
+    ),
+    // ---- sorts / limits: top-k ------------------------------------------
+    QueryEntry(
+      "q_topk",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .limit(10),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""),
+    ),
+    // ---- A5: running metrics (window cumulative sum) ----------------------
+    QueryEntry(
+      "q_window_running",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .withColumn("running_value", sum(col("value").cast(Dec)).over(w).cast("double"))
+          .select("user_id", "event_id", "running_value")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+        CAST(sum(CAST(value AS DECIMAL(28,6)))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          AS running_value
+        FROM events ORDER BY user_id, event_id"""),
+    ),
+  )
+
+  /** F3 exclusion filter as a reusable operator: drop a row if any path
+    * pattern is a substring of `file_name`; otherwise drop if the basename
+    * starts with any file pattern. Pure column expressions → whole-stage
+    * codegen, predicate evaluated at the scan.
+    * Reference: core/toolbox.py:265-325.
+    */
+  def excludeFiles(df: DataFrame, pathPatterns: Seq[String],
+                   filePatterns: Seq[String]): DataFrame = {
+    val pathHit = pathPatterns
+      .map(p => col("file_name").contains(p))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val base = regexp_extract(col("file_name"), "([^/]*)$", 1)
+    val nameHit = filePatterns
+      .map(p => base.startsWith(p))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    df.filter(!pathHit && !nameHit)
+  }
+}

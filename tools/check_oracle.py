@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
+matching oracle SQL from oracle_sql.json in DuckDB with views over
+<sfDir>/*.parquet, and compares: columns sorted by name, rows sorted, values
+compared exactly (floats to 1e-12 relative, reported if only-approx equal).
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        return v
+    return v
+
+
+def rows_of(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    recs = [tuple(norm(v) for v in r) for r in df.itertuples(index=False)]
+    return cols, sorted(recs, key=lambda r: tuple(str(x) for x in r))
+
+
+def eq(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return a == a or True
+        return a == b
+    return a == b
+
+
+def approx(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+    return a == b
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    n_pass = n_fail = n_approx = 0
+    for name, sql in sorted(oracle.items()):
+        pdir = Path(out_dir) / name
+        if not pdir.exists():
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            got = con.sql(f"SELECT * FROM '{pdir}/*.parquet'").df()
+            want = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: {str(e).splitlines()[0][:200]}")
+            n_fail += 1
+            continue
+        gc, gr = rows_of(got)
+        wc, wr = rows_of(want)
+        if gc != wc:
+            print(f"FAIL {name}: columns {gc} != {wc}")
+            n_fail += 1
+            continue
+        if len(gr) != len(wr):
+            print(f"FAIL {name}: rows {len(gr)} != {len(wr)}")
+            n_fail += 1
+            continue
+        exact = all(all(eq(a, b) for a, b in zip(r1, r2))
+                    for r1, r2 in zip(gr, wr))
+        if exact:
+            print(f"PASS {name} ({len(gr)} rows)")
+            n_pass += 1
+            continue
+        ok = all(all(approx(a, b) for a, b in zip(r1, r2))
+                 for r1, r2 in zip(gr, wr))
+        if ok:
+            print(f"APPROX {name} ({len(gr)} rows) — values equal only to 1e-9")
+            n_approx += 1
+        else:
+            n_fail += 1
+            bad = [(r1, r2) for r1, r2 in zip(gr, wr)
+                   if not all(approx(a, b) for a, b in zip(r1, r2))]
+            print(f"FAIL {name}: {len(bad)} mismatched rows; first: "
+                  f"got={bad[0][0]} want={bad[0][1]}")
+    print(f"== {n_pass} pass, {n_approx} approx, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
