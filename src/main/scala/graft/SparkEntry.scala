@@ -11,7 +11,10 @@ object SparkEntry {
   /** All operator suites. Order is cosmetic (maps are keyed by name). */
   def allEntries: Seq[QueryEntry] =
     operators.Relational.entries ++
-      operators.ScalarQueries.entries
+      operators.ScalarQueries.entries ++
+      operators.DedupOps.entries ++
+      operators.SimilarityOps.entries ++
+      operators.TextAnalysis.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,219 @@
+package graft.operators
+
+import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication suite for training-data pipelines: exact hash,
+  * MinHash+LSH, SimHash, n-gram Jaccard. All hash functions are md5-based so
+  * the DuckDB oracle can reproduce them byte-for-byte (no engine-internal
+  * hash functions anywhere).
+  *
+  * Scale design:
+  *  - exact dedup = groupBy(content hash) — one shuffle on a 32-char key
+  *    (or the 64-bit RollingHash at 100 TB), partial agg map-side;
+  *  - MinHash LSH = per-doc signature (narrow, codegen'd HOFs over the
+  *    shingle array) → explode to (band, doc) → shuffle on band → pairs
+  *    emitted only within a bucket. No all-pairs join ever materializes;
+  *  - SimHash = narrow per-doc 16-bit sketch; near-dup candidates group on
+  *    the sketch value;
+  *  - n-gram Jaccard = blocked self-join (here: (lang, source) block key;
+  *    at scale: an LSH band) so the quadratic work is bounded per block.
+  */
+object DedupOps {
+  import Tables.t
+
+  private val ShingleSize = 3
+  private val NumHashes = 8
+  private val BandRows = 2 // 4 bands of 2 rows
+
+  // ---- shared shingle / signature builders (Spark side) --------------------
+  /** Word k-shingles of a text column (empty array when fewer than k words). */
+  def shingles(text: Column, k: Int = ShingleSize): Column = {
+    val words = split(text, " ")
+    when(size(words) >= k,
+      transform(sequence(lit(0), size(words) - k),
+        i => concat_ws(" ", slice(words, i + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash signature i: lexicographic min of md5(i:shingle). */
+  def minhashSig(shingleCol: Column, i: Int): Column =
+    array_min(transform(shingleCol, x => md5(concat(lit(s"$i:"), x))))
+
+  /** 16-bit SimHash from the per-word md5 hex digits: bit i is set iff the
+    * count of words whose i-th hex digit has its high bit set exceeds the
+    * count of those that don't.
+    */
+  def simhash16(text: Column): Column = {
+    val hashes = transform(split(text, " "), w => md5(w))
+    val bits = (1 to 16).map { i =>
+      val s = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(substring(h, i, 1)
+          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
+      when(s > 0, lit(1L << (i - 1))).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  // ---- matching DuckDB SQL fragments (kept in lockstep with the above) ----
+  // i ranges over 1..len-k+1 (range() is end-exclusive → end = len-k+2)
+  private def sqlShingles(text: String): String =
+    s"""list_transform(range(1, greatest(len(string_split($text,' ')) - ${ShingleSize - 2}, 1)),
+        i -> array_to_string(string_split($text,' ')[i:i+${ShingleSize - 1}], ' '))"""
+
+  private def sqlMinhashSig(sh: String, i: Int): String =
+    s"list_min(list_transform($sh, x -> md5('$i:' || x)))"
+
+  private def sqlSimhash16(text: String): String = {
+    val hs = s"list_transform(string_split($text, ' '), w -> md5(w))"
+    (1 to 16).map { i =>
+      s"""(CASE WHEN list_aggregate(list_transform($hs,
+            h -> CASE WHEN substr(h,$i,1) IN ('8','9','a','b','c','d','e','f')
+                 THEN 1 ELSE -1 END), 'sum') > 0
+          THEN ${1L << (i - 1)} ELSE 0 END)"""
+    }.mkString("(", " + ", ")")
+  }
+
+  // ---- reusable operators ---------------------------------------------------
+  /** Exact near-duplicate groups: one row per distinct content hash with the
+    * first (lowest-id) keeper and the duplicate count.
+    */
+  def exactDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash LSH candidate pairs: signature → bands → explode → bucket join.
+    * At scale this is the only shuffle (on the band hash); the quadratic
+    * pair generation happens per bucket.
+    */
+  def minhashCandidatePairs(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val sh = shingles(col(textCol))
+    val sigs = (0 until NumHashes).map(i => minhashSig(sh, i).as(s"sig_$i"))
+    val withSig = docs.filter(size(sh) > 0)
+      .select(col(idCol).as("doc"), struct(sigs: _*).as("sig"))
+    val bands = (0 until NumHashes / BandRows).map { b =>
+      val parts = (0 until BandRows).map(r => col(s"sig.sig_${b * BandRows + r}"))
+      struct(lit(b).as("band_idx"), md5(concat(parts: _*)).as("band_hash"))
+    }
+    val exploded = withSig.select(col("doc"), explode(array(bands: _*)).as("band"))
+      .select(col("doc"), col("band.band_idx"), col("band.band_hash"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b, col("a.band_idx") === col("b.band_idx")
+        && col("a.band_hash") === col("b.band_hash")
+        && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+  }
+
+  def entries: Seq[QueryEntry] = Seq(
+    // ---- exact dedup by content hash -------------------------------------
+    QueryEntry(
+      "q_dedup_exact_hash",
+      (s, dir) =>
+        exactDedup(t(s, dir, "documents"), "text", "doc_id")
+          .orderBy("content_hash"),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        count(*) AS n_dups
+        FROM documents GROUP BY md5(text) ORDER BY content_hash"""),
+    ),
+    // ---- MinHash signatures ----------------------------------------------
+    QueryEntry(
+      "q_minhash_sig",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sh = shingles(col("text"))
+        val sigs = (0 until NumHashes)
+          .map(i => minhashSig(shingles(col("text")), i).as(s"sig_$i"))
+        docs.filter(size(sh) > 0)
+          .select(col("doc_id") +: sigs: _*)
+          .orderBy("doc_id")
+      },
+      Some {
+        val sh = sqlShingles("text")
+        val sigs = (0 until NumHashes)
+          .map(i => s"${sqlMinhashSig(sh, i)} AS sig_$i").mkString(", ")
+        s"""SELECT doc_id, $sigs FROM documents
+            WHERE len(string_split(text,' ')) >= $ShingleSize
+            ORDER BY doc_id"""
+      },
+    ),
+    // ---- MinHash LSH candidate pairs --------------------------------------
+    QueryEntry(
+      "q_minhash_pairs",
+      (s, dir) =>
+        minhashCandidatePairs(t(s, dir, "documents"), "text", "doc_id")
+          .orderBy("doc_a", "doc_b"),
+      Some {
+        val sh = sqlShingles("text")
+        val sigCols = (0 until NumHashes)
+          .map(i => s"${sqlMinhashSig(sh, i)} AS sig_$i").mkString(", ")
+        val bandCols = (0 until NumHashes / BandRows).map { b =>
+          val parts = (0 until BandRows).map(r => s"sig_${b * BandRows + r}")
+          s"md5(${parts.mkString(" || ")}) AS band_$b"
+        }.mkString(", ")
+        val bandUnion = (0 until NumHashes / BandRows)
+          .map(b => s"SELECT doc_id AS doc, $b AS band_idx, band_$b AS band_hash FROM sigs")
+          .mkString(" UNION ALL ")
+        s"""WITH raw AS (
+              SELECT doc_id, $sigCols FROM documents
+              WHERE len(string_split(text,' ')) >= $ShingleSize),
+            sigs AS (SELECT doc_id, $bandCols FROM raw),
+            bands AS ($bandUnion)
+            SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc < b.doc
+            ORDER BY doc_a, doc_b"""
+      },
+    ),
+    // ---- SimHash sketch -----------------------------------------------------
+    QueryEntry(
+      "q_simhash",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), simhash16(col("text")).as("simhash"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+        CAST(${sqlSimhash16("text")} AS BIGINT) AS simhash
+        FROM documents ORDER BY doc_id"""),
+    ),
+    // ---- n-gram Jaccard within (lang, source) blocks ------------------------
+    QueryEntry(
+      "q_ngram_jaccard",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+                  array_distinct(shingles(col("text"))).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val a = d.as("a")
+        val b = d.as("b")
+        a.join(b, col("a.lang") === col("b.lang")
+            && col("a.source") === col("b.source")
+            && col("a.doc_id") < col("b.doc_id"))
+          .select(
+            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+              (size(col("a.sh")) + size(col("b.sh"))
+                - size(array_intersect(col("a.sh"), col("b.sh")))).cast("double"))
+              .as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val sh = sqlShingles("text")
+        s"""WITH d AS (
+              SELECT doc_id, lang, source, list_distinct($sh) AS sh
+              FROM documents
+              WHERE len(string_split(text,' ')) >= $ShingleSize)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                AS jaccard
+            FROM d a JOIN d b
+              ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+            ORDER BY doc_a, doc_b"""
+      },
+    ),
+  )
+}

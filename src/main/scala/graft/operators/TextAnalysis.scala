@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis suite for training-data pipelines: language ID (stopword
+  * n-gram heuristic), quality scoring, token counting, fingerprinting.
+  * Everything is a narrow, codegen'd per-row expression — no shuffle, no
+  * UDF — so the suite runs at full scan speed at any scale.
+  */
+object TextAnalysis {
+  import Tables.t
+
+  /** Language marker profiles (tiny whole-word stopword sets). */
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "a", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "les", "et", "une", "est"),
+  )
+
+  /** Whole-word occurrence count of `w` in a pre-split words column. */
+  private def wordCount(words: Column, w: String): Column =
+    size(filter(words, x => x === w))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val words = split(lower(text), " ")
+    profiles.map { case (lang, ws) =>
+      lang -> ws.map(wordCount(words, _)).reduce(_ + _)
+    }
+  }
+
+  /** Predicted language = argmax score, ties broken by profile order. */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lang).otherwise(acc)
+    }
+  }
+
+  private def sqlWordCount(words: String, w: String): String =
+    s"len(list_filter($words, x -> x = '$w'))"
+
+  private def sqlLangScore(words: String, lang: String): String =
+    profiles.toMap.apply(lang).map(sqlWordCount(words, _)).mkString("(", " + ", ")")
+
+  def entries: Seq[QueryEntry] = Seq(
+    // ---- language identification -----------------------------------------
+    QueryEntry(
+      "q_lang_id",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val scoreCols = langScores(col("text")).map { case (l, c) => c.cast("long").as(s"score_$l") }
+        d.select(col("doc_id") +: col("lang").as("labeled_lang") +: scoreCols :+
+          langId(col("text")).as("predicted_lang"): _*)
+          .orderBy("doc_id")
+      },
+      Some {
+        val w = "string_split(lower(text), ' ')"
+        val scores = profiles.map { case (l, _) =>
+          s"CAST(${sqlLangScore(w, l)} AS BIGINT) AS score_$l"
+        }.mkString(", ")
+        // same argmax with the same first-wins tie-break order
+        val best = profiles.map { case (l, _) => sqlLangScore(w, l) }
+          .mkString("greatest(", ", ", ")")
+        val pred = profiles.foldRight("'und'") { case ((l, _), acc) =>
+          s"CASE WHEN ${sqlLangScore(w, l)} = $best AND ${sqlLangScore(w, l)} > 0 THEN '$l' ELSE $acc END"
+        }
+        s"""SELECT doc_id, lang AS labeled_lang, $scores, $pred AS predicted_lang
+            FROM documents ORDER BY doc_id"""
+      },
+    ),
+    // ---- quality scoring ----------------------------------------------------
+    QueryEntry(
+      "q_quality_score",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val words = split(col("text"), " ")
+        val nTokens = size(words).cast("double")
+        val totalWordChars =
+          aggregate(words, lit(0), (acc, w) => acc + length(w)).cast("double")
+        val stopCount = profiles.toMap.apply("en")
+          .map(wordCount(split(lower(col("text")), " "), _)).reduce(_ + _)
+          .cast("double")
+        val nonAlnum = (length(col("text")) -
+          length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).cast("double")
+        d.select(
+          col("doc_id"),
+          size(words).cast("long").as("n_tokens"),
+          (totalWordChars / nTokens).as("avg_token_len"),
+          (stopCount / nTokens).as("stopword_ratio"),
+          (nonAlnum / length(col("text")).cast("double")).as("punct_ratio"),
+        ).withColumn("quality",
+          lit(0.5) * least(col("stopword_ratio") * 5.0, lit(1.0))
+            + lit(0.3) * least(col("n_tokens").cast("double") / 100.0, lit(1.0))
+            + lit(0.2) * (lit(1.0) - least(col("punct_ratio") * 10.0, lit(1.0))))
+          .orderBy("doc_id")
+      },
+      Some {
+        val w = "string_split(text, ' ')"
+        val lw = "string_split(lower(text), ' ')"
+        val stop = sqlLangScore(lw, "en")
+        s"""SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, punct_ratio,
+              0.5 * least(stopword_ratio * 5.0, 1.0)
+            + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+            + 0.2 * (1.0 - least(punct_ratio * 10.0, 1.0)) AS quality
+            FROM (SELECT doc_id,
+              CAST(len($w) AS BIGINT) AS n_tokens,
+              CAST(list_aggregate(list_transform($w, x -> len(x)), 'sum') AS DOUBLE)
+                / CAST(len($w) AS DOUBLE) AS avg_token_len,
+              CAST($stop AS DOUBLE) / CAST(len($w) AS DOUBLE) AS stopword_ratio,
+              CAST(len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                / CAST(len(text) AS DOUBLE) AS punct_ratio
+              FROM documents)
+            ORDER BY doc_id"""
+      },
+    ),
+    // ---- token counting ------------------------------------------------------
+    QueryEntry(
+      "q_token_count",
+      (s, dir) =>
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          size(split(col("text"), "\\s+")).cast("long").as("ws_tokens"),
+          regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+            .cast("long").as("bpe_ish_tokens"),
+        ).orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+          AS bpe_ish_tokens
+        FROM documents ORDER BY doc_id"""),
+    ),
+    // ---- document fingerprint (normalized content hash) -----------------------
+    QueryEntry(
+      "q_fingerprint",
+      (s, dir) =>
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fingerprint"),
+        ).orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+        FROM documents ORDER BY doc_id"""),
+    ),
+  )
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.{DedupOps, SimilarityOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup of 1
+    (4L, "completely different words entirely here now friends"),
+    (5L, "ab"), // fewer than 3 words → no shingles
+  ).toDF("doc_id", "text")
+
+  test("shingles: word 3-grams, short texts empty") {
+    val sh = docs.select(col("doc_id"), DedupOps.shingles(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L).length === 7) // 9 words → 7 3-grams
+    assert(sh(1L).head === "the quick brown")
+    assert(sh(1L).last === "the lazy dog")
+    assert(sh(5L).isEmpty)
+  }
+
+  test("exact dedup groups duplicates, keeps lowest id") {
+    val got = DedupOps.exactDedup(docs, "text", "doc_id")
+      .orderBy("keep_id").collect()
+    assert(got.length === 4)
+    val dupGroup = got.find(_.getLong(1) == 1L).get
+    assert(dupGroup.getLong(2) === 2L) // docs 1 and 2 collapse
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = DedupOps.minhashCandidatePairs(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical → all bands collide
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      "near-dup (7/9 shared shingles... should share at least one band)")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical texts equal, near dups within small hamming distance") {
+    val sh = docs.select(col("doc_id"), DedupOps.simhash16(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(2L))
+    val hamming = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    assert(hamming <= 6, s"hamming=$hamming")
+    assert(sh(1L) >= 0 && sh(1L) < (1 << 16))
+  }
+
+  test("cosine: self-similarity 1, orthogonal 0") {
+    val e = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0)),
+      (3L, Seq(2.0, 0.0, 0.0)),
+    ).toDF("vec_id", "v")
+    val a = e.as("a"); val b = e.as("b")
+    val sims = a.join(b, col("a.vec_id") <= col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+              SimilarityOps.cosine(col("a.v"), col("b.v")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(sims((1L, 1L)) - 1.0) < 1e-12)
+    assert(math.abs(sims((1L, 2L))) < 1e-12)
+    assert(math.abs(sims((1L, 3L)) - 1.0) < 1e-12) // scale-invariant
+  }
+
+  test("brute-force top-k returns k rows ordered by similarity") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = SimilarityOps.bruteForceTopK(emb, 0L, 5).collect()
+    assert(got.length === 5)
+    val sims = got.map(_.getDouble(2))
+    assert(sims.sameElements(sims.sorted.reverse))
+    assert(!got.map(_.getLong(0)).contains(0L))
+  }
+
+  test("IVF probes a subset but still returns k ordered rows") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = SimilarityOps.ivfTopK(emb, 0L, 3, 5).collect()
+    assert(got.length === 5)
+    val labels = got.map(_.getInt(1)).toSet
+    assert(labels.size <= 3, "results restricted to probed partitions")
+  }
+}
