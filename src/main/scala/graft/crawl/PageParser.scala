@@ -1,0 +1,129 @@
+package graft.crawl
+
+import graft.model._
+
+/** Parses an interleaved text+media span document into (a) frontier
+  * candidate links and (b) validated dataset/file record rows. Pure
+  * functions of the `Doc` alone — parse output is fully determined by the
+  * span sequence, which is what makes per-row span-sequence equality
+  * (kind, text, media_ref, order) the parity invariant.
+  *
+  * Reference semantics: extract_metadata_from_json projections
+  * (scrapers/zenodo.py:292-359), GPCRmd field-from-lines scan
+  * (scrapers/gpcrmd.py:161-271), zip-preview flatten (zenodo.py:153-201).
+  */
+object PageParser {
+
+  /** Crawlable link schemes; everything else (thumb://, dl://, zip://) is a
+    * terminal media reference, kept in the doc but never fetched. */
+  private val Crawlable = Set("zenodo", "figshare", "osf")
+
+  private def kindOf(url: String): String = {
+    val path = url.dropWhile(_ != ':').drop(3)
+    path.takeWhile(_ != '/')
+  }
+
+  /** Dataset-type score: discovery pages outrank detail pages outrank
+    * zip subcrawls (the north rule's priority-queue score component). */
+  def scoreOf(url: String): Double = kindOf(url) match {
+    case "search"                => 3.0
+    case "article" | "node"      => 2.0
+    case "preview" | "structure" => 1.0
+    case _                       => 0.5
+  }
+
+  /** Outlinks in span order, with in-page ordinals. */
+  def extractLinks(doc: Doc): Seq[DiscoveredLink] =
+    doc.spans.iterator
+      .filter(s => s.kind == "media" && Crawlable.contains(s.media_ref.takeWhile(_ != ':')))
+      .zipWithIndex
+      .map { case (s, i) => DiscoveredLink(s.media_ref, kindOf(s.media_ref), i, scoreOf(s.media_ref)) }
+      .toSeq
+
+  private val RecordRe = "^record ([a-z]-\\d+)$".r
+  private val FileRe = "^file: (\\S+) size: (\\d+) md5: (\\S+)$".r
+  private val ZipEntryRe = "^zipentry (\\S+) size: (\\d+)$".r
+  private val ZipUrlRe = "^zip://([a-z]+)/(\\d+)/([^/]+)/.*$".r
+
+  private def field(spans: Seq[Span], name: String): Option[String] =
+    spans.collectFirst {
+      case s if s.kind == "text" && s.text.startsWith(s"$name: ") =>
+        s.text.drop(name.length + 2)
+    }
+
+  /** Parse all dataset records on a page (search pages may carry many —
+    * Zenodo embeds full hits inline). Returns raw rows; validation is the
+    * caller's quarantine step.
+    */
+  def parseDatasets(host: String, doc: Doc): Seq[DatasetRecord] = {
+    // split the span stream at "record <id>" markers
+    val groups = splitRecords(doc.spans)
+    groups.map { case (id, spans) =>
+      val dl = field(spans, "downloads")
+        .map(_.split(" views: ")).getOrElse(Array.empty[String])
+      DatasetRecord(
+        dataset_repository_name = host,
+        dataset_id_in_repository = id,
+        dataset_url_in_repository = doc.doc_id,
+        title = field(spans, "title").getOrElse(""),
+        author_names = field(spans, "authors").toSeq.flatMap(_.split("; ")),
+        description = field(spans, "description"),
+        keywords = field(spans, "keywords").toSeq.flatMap(_.split("; ")),
+        license = field(spans, "license"),
+        doi = field(spans, "doi"),
+        date_created = field(spans, "date"),
+        download_number = dl.headOption.flatMap(_.toLongOption),
+        view_number = dl.lift(1).flatMap(_.toLongOption),
+        number_of_files = Some(spans.count(s =>
+          s.kind == "text" && s.text.startsWith("file: ")).toLong),
+      )
+    }
+  }
+
+  /** Parse file rows: direct files from record groups; zip entries from
+    * preview pages (carrying archive provenance, models/file.py
+    * `containing_archive_file_name`).
+    */
+  def parseFiles(host: String, doc: Doc): Seq[FileRecord] = {
+    val direct = splitRecords(doc.spans).flatMap { case (id, spans) =>
+      spans.sliding(2).collect {
+        case Seq(Span("text", FileRe(name, size, md5), _, _),
+                 Span("media", _, url, _)) =>
+          FileRecord(host, id, doc.doc_id, name, url,
+            Some(size.toLong), Some(md5), None, "")
+      }
+    }
+    val zipped = doc.spans.collect {
+      case Span("media", ZipEntryRe(path, size), url @ ZipUrlRe(h2, n, zipName), _) =>
+        FileRecord(h2, s"${h2.head}-$n", doc.doc_id, path, url,
+          Some(size.toLong), None, Some(zipName), "")
+    }
+    direct ++ zipped
+  }
+
+  private def splitRecords(spans: Seq[Span]): Seq[(String, Seq[Span])] = {
+    val starts = spans.zipWithIndex.collect {
+      case (Span("text", RecordRe(id), _, _), i) => (id, i)
+    }
+    starts.zipWithIndex.map { case ((id, from), gi) =>
+      val until = if (gi + 1 < starts.size) starts(gi + 1)._2 else spans.size
+      (id, spans.slice(from, until))
+    }
+  }
+}
+
+/** Per-host robots gating — a static allow/deny rule set (the reference has
+  * none; the north rule requires the gate). Synthetic policy: OSF nodes
+  * whose id ≡ 0 (mod 13) are disallowed, zenodo previews of archives whose
+  * numeric suffix ≡ 0 (mod 17) are disallowed. Pure, executor-safe.
+  */
+object Robots {
+  private val OsfNode = "^osf://node/(\\d+)$".r
+  private val ZenPrev = "^zenodo://preview/\\d+/archive_(\\d+)\\.zip$".r
+
+  def allowed(url: String): Boolean = url match {
+    case OsfNode(n)  => n.toLong % 13 != 0
+    case ZenPrev(k)  => k.toLong % 17 != 0
+    case _           => true
+  }
+}

@@ -1,0 +1,136 @@
+package graft.crawl
+
+import scala.collection.mutable
+import graft.model._
+
+/** Crawl semantics, shared by the sequential oracle and the Spark engine.
+  *
+  * The logical crawl is BSP rounds over a priority frontier:
+  *  - A task's identity for ordering is its discovery sequence
+  *    (round, queryIdx, pageIdx, hitIdx) — minted once, never recomputed.
+  *  - Priority: score DESC, then discovery sequence ASC (FIFO among equal
+  *    scores) — the north rule's host-budget + depth + dataset-type score
+  *    queue, with the score encoding dataset-type and the budget applied
+  *    per host per round.
+  *  - Each round: per host, drain the top `hostBudget(host)` tasks (the
+  *    politeness token bucket in simulated time — one round = one budget
+  *    refill interval, mirroring Zenodo's 100 req/min / Figshare's 1 req/s
+  *    limits, docs/zenodo.md:31-35, figshare_api.py:69-73).
+  *  - The round's *logical fetch order* = all selected tasks sorted by
+  *    priority globally; `seqInRound` (1-based) indexes it. The crawl-order
+  *    log is the parity artifact.
+  *  - Discovered links are processed in (parent seqInRound, in-page
+  *    ordinal) order: robots gate → first-wins dedup within the round →
+  *    URL-seen check (seen = every URL ever *enqueued*, exact membership)
+  *    → enqueue as (round=r, queryIdx=parentSeq, pageIdx=0, hitIdx=ordinal).
+  */
+object CrawlSpec {
+  /** Priority ordering: score desc, discovery sequence asc. */
+  val taskOrder: Ordering[FetchTask] =
+    Ordering.by((t: FetchTask) => (-t.score, t.round, t.queryIdx, t.pageIdx, t.hitIdx))
+
+  def childTask(url: String, parentDepth: Int, round: Int,
+                parentSeq: Int, ordinal: Int): FetchTask =
+    FetchTask(url, url.takeWhile(_ != ':'), parentDepth + 1,
+      PageParser.scoreOf(url), round, parentSeq, 0, ordinal)
+}
+
+final case class LogEntry(round: Int, seqInRound: Int, url: String,
+                          host: String, depth: Int, status: Int, nLinks: Int)
+
+final case class CrawlResult(
+    log: Vector[LogEntry],
+    seen: Set[String],
+    docs: Map[String, Seq[Span]],
+    datasets: Vector[DatasetRecord],
+    files: Vector[FileRecord],
+    metrics: Vector[Map[String, Long]],
+)
+
+/** The sequential oracle: a straightforward single-threaded implementation
+  * of [[CrawlSpec]] (mutable queue + LinkedHashSet), playing the role the
+  * single-threaded reference plays for the Spark engine. Every parity test
+  * asserts the distributed engine reproduces this byte-for-byte at any
+  * parallelism.
+  */
+object ReferenceCrawl {
+
+  def run(cfg: RepoConfig, hostBudget: Map[String, Int],
+          maxRounds: Int): CrawlResult = {
+    val frontier = mutable.ArrayBuffer.empty[FetchTask]
+    val seen = mutable.LinkedHashSet.empty[String]
+    val log = Vector.newBuilder[LogEntry]
+    val docs = mutable.LinkedHashMap.empty[String, Seq[Span]]
+    val datasets = Vector.newBuilder[DatasetRecord]
+    val files = Vector.newBuilder[FileRecord]
+    val metrics = Vector.newBuilder[Map[String, Long]]
+
+    SyntheticRepo.seedTasks(cfg).foreach { t =>
+      if (Robots.allowed(t.url) && seen.add(t.url)) frontier += t
+    }
+
+    var round = 1
+    while (frontier.nonEmpty && round <= maxRounds) {
+      // per-host budget drain
+      val byHost = frontier.groupBy(_.host)
+      val selected = byHost.toSeq.flatMap { case (host, ts) =>
+        ts.sorted(CrawlSpec.taskOrder).take(hostBudget.getOrElse(host, 0))
+      }.sorted(CrawlSpec.taskOrder)
+      val selectedUrls = selected.map(_.url).toSet
+      frontier.filterInPlace(t => !selectedUrls.contains(t.url))
+
+      var robotsExcluded = 0L; var dupInRound = 0L; var seenHits = 0L
+      var enqueued = 0L; var ok = 0L; var dsQuarantine = 0L; var fileQuarantine = 0L
+      val roundNew = mutable.HashSet.empty[String]
+
+      selected.zipWithIndex.foreach { case (task, i) =>
+        val seq = i + 1
+        val page = SyntheticRepo.fetch(cfg, task.url)
+        log += LogEntry(round, seq, task.url, task.host, task.depth,
+          page.status, page.links.size)
+        if (page.status == 200) {
+          ok += 1
+          docs(page.doc.doc_id) = page.doc.spans
+          PageParser.parseDatasets(task.host, page.doc).foreach { d =>
+            Validators.validateDataset(d) match {
+              case Right(v) => datasets += v
+              case Left(_)  => dsQuarantine += 1
+            }
+          }
+          PageParser.parseFiles(task.host, page.doc).foreach { f =>
+            Validators.validateFile(f) match {
+              case Right(v) => files += v
+              case Left(_)  => fileQuarantine += 1
+            }
+          }
+          // accounting order = engine order: robots gate, then first-wins
+          // within the round (counts every later occurrence as dup), then
+          // the URL-seen check (counts once per distinct url)
+          page.links.foreach { l =>
+            if (!Robots.allowed(l.url)) robotsExcluded += 1
+            else if (roundNew.contains(l.url)) dupInRound += 1
+            else {
+              roundNew += l.url
+              if (seen.contains(l.url)) seenHits += 1
+              else {
+                seen += l.url
+                frontier += CrawlSpec.childTask(l.url, task.depth, round, seq, l.ordinal)
+                enqueued += 1
+              }
+            }
+          }
+        }
+      }
+      metrics += Map(
+        "round" -> round.toLong, "fetched" -> selected.size.toLong,
+        "ok" -> ok, "robots_excluded" -> robotsExcluded,
+        "dup_in_round" -> dupInRound, "seen_hits" -> seenHits,
+        "enqueued" -> enqueued, "frontier_pending" -> frontier.size.toLong,
+        "datasets_quarantined" -> dsQuarantine,
+        "files_quarantined" -> fileQuarantine)
+      round += 1
+    }
+    CrawlResult(log.result(), seen.toSet, docs.toMap,
+      datasets.result(), files.result(), metrics.result())
+  }
+}

@@ -1,0 +1,131 @@
+package graft.crawl
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** The URL-seen membership state: an exact, authoritative Parquet table of
+  * every URL ever enqueued, fronted by per-shard Bloom filters as the fast
+  * path. The Bloom may say "maybe seen" for a new URL (false positive) but
+  * never "new" for a seen one — so candidates that miss every Bloom are
+  * *definitely new* and skip the expensive exact anti-join entirely; only
+  * Bloom hits get confirmed against the exact table. The north rule demands
+  * exact URL-seen equality: the Bloom can only route, never drop.
+  *
+  * Sharding: `shard = pmod(xxhash64(url), nShards)`. Per-shard filters keep
+  * each filter's size bounded at 10^10-URL scale (a single 10^10-entry 1%
+  * filter would be ~12 GB; 4096 shards of ~2.4M entries are ~3 MB each, one
+  * per state-table row, loadable shard-locally after a repartition on the
+  * same hash — map-side membership with no driver bottleneck). Locally we
+  * broadcast the whole shard map; the probe is shard-aware either way.
+  *
+  * The reference's analog is the pooch download cache / cumulative dedup
+  * (download_files.py:142-187, toolbox.py:192-209) — an O(n²) in-memory
+  * list scan whose *semantics* (exact first-wins membership) we keep and
+  * whose implementation we replace (SURVEY.md §4).
+  */
+object SeenSet {
+
+  /** Custom typed aggregate: per-group Bloom filter over a string column —
+    * the one genuinely custom Aggregator in the engine (SURVEY.md §2.10).
+    */
+  final class BloomAgg(expectedPerShard: Long, fpp: Double)
+      extends Aggregator[String, BloomFilter, Array[Byte]] {
+    def zero: BloomFilter = BloomFilter.create(expectedPerShard, fpp)
+    def reduce(b: BloomFilter, url: String): BloomFilter = { b.putString(url); b }
+    def merge(a: BloomFilter, b: BloomFilter): BloomFilter = {
+      a.mergeInPlace(b); a
+    }
+    def finish(b: BloomFilter): Array[Byte] = serialize(b)
+    def bufferEncoder: Encoder[BloomFilter] =
+      Encoders.javaSerialization[BloomFilter]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  def serialize(b: BloomFilter): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    b.writeTo(out)
+    out.toByteArray
+  }
+
+  def shardCol(url: org.apache.spark.sql.Column, nShards: Int) =
+    pmod(xxhash64(url), lit(nShards.toLong)).cast("int")
+
+  /** Build per-shard Bloom filters for a batch of URLs → (shard, bloom). */
+  def buildShards(urls: DataFrame, nShards: Int, expectedPerShard: Long,
+                  fpp: Double): DataFrame = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    val agg = udaf(new BloomAgg(expectedPerShard, fpp))
+    urls.select(shardCol(col("url"), nShards).as("shard"), col("url"))
+      .groupBy($"shard").agg(agg($"url").as("bloom"))
+  }
+
+  /** Merge an existing shard table with a delta batch's shards. */
+  def mergeShards(old: DataFrame, delta: DataFrame): DataFrame = {
+    val spark = old.sparkSession
+    import spark.implicits._
+    old.select("shard", "bloom").unionByName(delta.select("shard", "bloom"))
+      .as[(Int, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val merged = it.map(t => BloomFilter.readFrom(t._2))
+          .reduce((a, b) => a.mergeInPlace(b))
+        (shard, serialize(merged))
+      }
+      .toDF("shard", "bloom")
+  }
+
+  /** Split `candidates` (must have a `url` column) into definitely-new rows
+    * (Bloom miss) and rows needing exact confirmation, then anti-join only
+    * the latter against the exact seen table. Returns the exactly-new rows.
+    *
+    * At cluster scale the broadcast map becomes a shard-partitioned state
+    * read (repartition candidates by the same shard hash, open one filter
+    * per partition); the split/anti-join shape is identical.
+    */
+  def filterNew(candidates: DataFrame, bloomShards: Map[Int, Array[Byte]],
+                seenExact: DataFrame, nShards: Int): DataFrame = {
+    val spark = candidates.sparkSession
+    val bcast = spark.sparkContext.broadcast(bloomShards)
+    val bid = bcast.id
+    val mightBeSeen = udf { (url: String, shard: Int) =>
+      BloomShardCache.get(bid, shard, bcast.value.get(shard)) match {
+        case Some(f) => f.mightContainString(url)
+        case None    => false
+      }
+    }
+    val tagged = candidates
+      .withColumn("__shard", shardCol(col("url"), nShards))
+      .withColumn("__maybe", mightBeSeen(col("url"), col("__shard")))
+    val definitelyNew = tagged.filter(!col("__maybe"))
+    val confirmed = tagged.filter(col("__maybe"))
+      .join(seenExact.select(col("url").as("__seen_url")),
+        col("url") === col("__seen_url"), "left_anti")
+    definitelyNew.unionByName(confirmed).drop("__shard", "__maybe")
+  }
+}
+
+/** Executor-side memo of deserialized Bloom shards, keyed by (broadcast id,
+  * shard) so each task deserializes a shard's bytes at most once per JVM
+  * rather than once per row. Entries for stale broadcasts are dropped when
+  * the map grows past a bound (state is tiny: one filter per touched shard).
+  */
+object BloomShardCache {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int), BloomFilter]()
+
+  def get(bid: Long, shard: Int,
+          bytes: => Option[Array[Byte]]): Option[BloomFilter] = {
+    val k = (bid, shard)
+    val hit = cache.get(k)
+    if (hit != null) Some(hit)
+    else bytes.map { b =>
+      if (cache.size > 65536) cache.clear()
+      cache.computeIfAbsent(k, _ => BloomFilter.readFrom(b))
+    }
+  }
+}

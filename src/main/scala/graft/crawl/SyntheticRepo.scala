@@ -1,0 +1,280 @@
+package graft.crawl
+
+import graft.model._
+
+/** Deterministic synthetic web of MD-dataset repositories, shaped after the
+  * reference crawl surface (SURVEY.md §2.1):
+  *
+  *  - `zenodo://search/<ft>/<page>`   paginated keyword-search scan (S1):
+  *    hits carry full record metadata inline (like the Zenodo API), so
+  *    datasets+files parse straight off the search page; zip files spawn
+  *    preview subcrawl tasks (S9, `zenodo://preview/<id>/<name>`).
+  *  - `figshare://search/<ft>/<page>` id-only discovery (S2) followed by a
+  *    per-record detail drain (S3, `figshare://article/<id>`); zip files
+  *    spawn structure subcrawls (S10, `figshare://structure/<id>/<ord>`).
+  *  - `osf://search/<ft>/<page>`      file-hit search (scripts/scrape_osf.py)
+  *    linking to node pages (`osf://node/<id>`) that carry the record, a
+  *    file listing, and child-node links (S11/S12, one-level expansion).
+  *
+  * Every page is a pure function of (seed, url): executors fetch with zero
+  * driver state and zero I/O, so the same config replays byte-identically
+  * at any parallelism — the property all crawl-order/seen-set parity tests
+  * and the N-vs-4N scaling bench rest on. Page *content* is an interleaved
+  * text+media span document (`graft.model.Doc`), the `input_hint` shape;
+  * outlinks are extracted from the spans by [[PageParser]], never minted on
+  * the side, so span-sequence equality implies link equality.
+  *
+  * Reference shape citations: pagination caps 100/page & 10k/query
+  * (scrapers/zenodo.py:457-461), zip preview limited to 1000 entries
+  * (zenodo.py:244-247), two-phase figshare (figshare.py:277-433), OSF node
+  * children expansion (scripts/scrape_osf.py:196-267).
+  */
+final case class RepoConfig(
+    seed: Long,
+    /** distinct dataset universe per repository — collisions across
+      * filetype queries are intentional (dedup must have real work). */
+    universe: Int,
+    fileTypes: Seq[String] = Seq("gro", "mdp", "xtc"),
+    pageSize: Int = 100,
+    maxHitsPerQuery: Int = 10000,
+    zipPreviewLimit: Int = 1000,
+    /** fraction (1/n) of URLs that 404 (retry give-up → null row,
+      * core/toolbox.py:106-117 semantics). */
+    notFoundOneIn: Int = 97,
+)
+
+object SyntheticRepo {
+
+  // ---- deterministic hashing ----------------------------------------------
+
+  /** splitmix64 finalizer — the only randomness source. */
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def h(cfg: RepoConfig, parts: Any*): Long =
+    parts.foldLeft(mix(cfg.seed)) { (a, p) =>
+      mix(a ^ mix(p.toString.##.toLong))
+    }
+
+  private def pos(x: Long, mod: Int): Int = {
+    val m = (x % mod).toInt
+    if (m < 0) m + mod else m
+  }
+
+  val Hosts = Seq("zenodo", "figshare", "osf")
+
+  // ---- corpus shape --------------------------------------------------------
+
+  /** Hits a (host, filetype) query returns, ≤ maxHitsPerQuery. */
+  def totalHits(cfg: RepoConfig, host: String, ft: String): Int = {
+    val base = pos(h(cfg, "hits", host, ft), cfg.universe)
+    math.min(math.max(base, cfg.pageSize / 2), cfg.maxHitsPerQuery)
+  }
+
+  def pages(cfg: RepoConfig, host: String, ft: String): Int =
+    (totalHits(cfg, host, ft) + cfg.pageSize - 1) / cfg.pageSize
+
+  /** k-th hit of a (host, ft) query → dataset ordinal in [0, universe).
+    * Shared id space across filetypes ⇒ cross-query duplicates. */
+  def hitDataset(cfg: RepoConfig, host: String, ft: String, k: Int): Int =
+    pos(h(cfg, "hit", host, ft, k), cfg.universe)
+
+  def datasetId(host: String, n: Int): String = s"${host.head}-$n"
+
+  def nFiles(cfg: RepoConfig, host: String, n: Int): Int =
+    1 + pos(h(cfg, "nf", host, n), 8)
+
+  private val Words = Vector("lipid", "membrane", "protein", "bilayer",
+    "solvent", "peptide", "kinase", "channel", "micelle", "docking",
+    "trajectory", "umbrella", "replica", "ligand", "folding", "cgenff")
+
+  private def word(x: Long): String = Words(pos(x, Words.size))
+
+  // ---- seed tasks ----------------------------------------------------------
+
+  /** Page-1 search task per (host × filetype) — the crawl's seed list.
+    * queryIdx mints the deterministic discovery sequence (SURVEY §7.3). */
+  def seedTasks(cfg: RepoConfig): Seq[FetchTask] =
+    for {
+      (host, hi) <- Hosts.zipWithIndex
+      (ft, fi) <- cfg.fileTypes.zipWithIndex
+    } yield FetchTask(
+      url = s"$host://search/$ft/1", host = host, depth = 0,
+      score = 3.0, round = 0,
+      queryIdx = hi * cfg.fileTypes.size + fi, pageIdx = 0, hitIdx = 0)
+
+  // ---- page generation (pure) ----------------------------------------------
+
+  private val SearchRe = "^([a-z]+)://search/([a-z0-9]+)/(\\d+)$".r
+  private val ArticleRe = "^figshare://article/(\\d+)$".r
+  private val NodeRe = "^osf://node/(\\d+)$".r
+  private val PreviewRe = "^zenodo://preview/(\\d+)/([^/]+)$".r
+  private val StructRe = "^figshare://structure/(\\d+)/(\\d+)$".r
+
+  /** Fetch a URL. Pure; safe to call in `mapPartitions` on executors. */
+  def fetch(cfg: RepoConfig, url: String): FetchedPage = {
+    val host = url.takeWhile(_ != ':')
+    // deterministic 404s — but never for seed search pages (page 1)
+    val dead = pos(h(cfg, "404", url), cfg.notFoundOneIn) == 0 &&
+      !url.matches("^[a-z]+://search/[a-z0-9]+/1$")
+    if (dead) {
+      val doc = Doc(url, Seq.empty)
+      return FetchedPage(url, host, 0, 404, doc, Seq.empty)
+    }
+    val spans: Seq[Span] = url match {
+      case SearchRe(hst, ft, page) => searchSpans(cfg, hst, ft, page.toInt)
+      case ArticleRe(n)            => recordSpans(cfg, "figshare", n.toInt, detail = true)
+      case NodeRe(n)               => nodeSpans(cfg, n.toInt)
+      case PreviewRe(n, name)      => zipSpans(cfg, "zenodo", n.toInt, name)
+      case StructRe(n, ord)        => zipSpans(cfg, "figshare", n.toInt, s"arch$ord.zip")
+      case _                       => Seq.empty
+    }
+    val doc = Doc(url, spans)
+    FetchedPage(url, host, 0, 200, doc, PageParser.extractLinks(doc))
+  }
+
+  /** Search page: header text + per-hit spans. Zenodo embeds full records
+    * (dataset+files inline); figshare lists article links only; OSF lists
+    * node links with a file-hit line each.
+    */
+  private def searchSpans(cfg: RepoConfig, host: String, ft: String,
+                          page: Int): Seq[Span] = {
+    val total = totalHits(cfg, host, ft)
+    val nPages = pages(cfg, host, ft)
+    if (page > nPages) return Seq(Span("text", s"no results page=$page", "", 0))
+    val from = (page - 1) * cfg.pageSize
+    val until = math.min(total, from + cfg.pageSize)
+    val header = Seq(
+      Span("text", s"results for filetype:$ft page $page of $nPages total $total", "", 0),
+    ) ++ (if (page < nPages)
+      Seq(Span("media", s"next page", s"$host://search/$ft/${page + 1}", 1))
+    else Seq.empty)
+    val hits = (from until until).zipWithIndex.flatMap { case (k, i) =>
+      val n = hitDataset(cfg, host, ft, k)
+      val off = 100 * (i + 1)
+      host match {
+        case "zenodo" => recordSpans(cfg, "zenodo", n, detail = false, off)
+        case "figshare" => Seq(
+          Span("text", s"article ${datasetId(host, n)}: ${titleOf(cfg, host, n)}", "", off),
+          Span("media", "article link", s"figshare://article/$n", off + 1))
+        case "osf" => Seq(
+          Span("text", s"file hit ${word(h(cfg, "fh", n))}.$ft in node ${datasetId(host, n)}", "", off),
+          Span("media", "node link", s"osf://node/$n", off + 1))
+      }
+    }
+    header ++ hits
+  }
+
+  def titleOf(cfg: RepoConfig, host: String, n: Int): String =
+    s"${word(h(cfg, "t1", host, n)).capitalize} ${word(h(cfg, "t2", host, n))} simulation $n"
+
+  /** One record as interleaved spans: title/author/description/keyword text
+    * lines interleaved with media refs (thumbnail + file links). This is the
+    * GPCRmd "text lines + hrefs" page shape (scrapers/gpcrmd.py:95-158)
+    * carrying the Zenodo metadata surface (scrapers/zenodo.py:292-359).
+    */
+  def recordSpans(cfg: RepoConfig, host: String, n: Int,
+                  detail: Boolean, baseOff: Int = 0): Seq[Span] = {
+    val id = datasetId(host, n)
+    val files = fileEntries(cfg, host, n)
+    var off = baseOff
+    def at(k: String, t: String, m: String = ""): Span = {
+      val s = Span(k, t, m, off); off += 1; s
+    }
+    val head = Seq(
+      at("text", s"record $id"),
+      at("text", s"title: ${titleOf(cfg, host, n)}"),
+      at("media", "thumbnail", s"thumb://$host/$n.png"),
+      at("text", s"authors: ${word(h(cfg, "a1", host, n))}; ${word(h(cfg, "a2", host, n))}"),
+      at("text", s"doi: 10.5281/$host.$n"),
+      at("text", s"date: 20${10 + pos(h(cfg, "y", host, n), 15)}-0${1 + pos(h(cfg, "m", host, n), 9)}-1${pos(h(cfg, "d", host, n), 9)}T08:30:00"),
+      at("text", s"keywords: ${word(h(cfg, "k1", n))}; ${word(h(cfg, "k2", n))}"),
+      at("text", s"description: ${word(h(cfg, "w1", n))} ${word(h(cfg, "w2", n))} ${word(h(cfg, "w3", n))}."),
+      at("text", s"downloads: ${pos(h(cfg, "dl", host, n), 5000)} views: ${pos(h(cfg, "vw", host, n), 50000)}"),
+      at("text", s"license: ${if (pos(h(cfg, "lic", n), 3) == 0) "CC-BY-4.0" else "MIT"}"),
+    )
+    val fileSpans = files.zipWithIndex.flatMap { case (f, j) =>
+      val link = f.url
+      Seq(
+        at("text", s"file: ${f.name} size: ${f.size} md5: ${f.md5}"),
+        at("media", s"file ${f.name}", link),
+      ) ++ (if (f.name.endsWith(".zip"))
+        Seq(at("media", "zip preview",
+          if (host == "zenodo") s"zenodo://preview/$n/${f.name}"
+          else s"figshare://structure/$n/$j"))
+      else Seq.empty)
+    }
+    head ++ fileSpans
+  }
+
+  final case class FileEntry(name: String, url: String, size: Long, md5: String)
+
+  def fileEntries(cfg: RepoConfig, host: String, n: Int): Seq[FileEntry] = {
+    val exts = Seq("gro", "mdp", "xtc", "tpr", "pdf")
+    (0 until nFiles(cfg, host, n)).map { j =>
+      val isZip = pos(h(cfg, "zip", host, n, j), 5) == 0
+      val name =
+        if (isZip) s"archive_${pos(h(cfg, "an", n, j), 99)}.zip"
+        else s"${word(h(cfg, "fn", n, j))}_$j.${exts(pos(h(cfg, "fe", n, j), exts.size))}"
+      FileEntry(name, s"dl://$host/$n/$name",
+        1000L + pos(h(cfg, "fs", host, n, j), 5000000),
+        f"${h(cfg, "md5", host, n, j)}%016x")
+    }
+  }
+
+  /** OSF node page = record + file listing + child-node links (S11/S12). */
+  private def nodeSpans(cfg: RepoConfig, n: Int): Seq[Span] = {
+    val rec = recordSpans(cfg, "osf", n, detail = true)
+    val nKids = pos(h(cfg, "kids", n), 3) // 0..2 children
+    val kids = (0 until nKids).map { c =>
+      val kid = pos(h(cfg, "kid", n, c), cfg.universe)
+      Span("media", s"child node", s"osf://node/$kid", 10000 + c)
+    }
+    rec ++ kids
+  }
+
+  /** Zip preview page: preorder file-path listing of a nested tree, paths
+    * `/`-joined, capped at zipPreviewLimit — the reference's invenio
+    * previewer semantics (zenodo.py:77-201, figshare golden test
+    * tests/scrapers/test_figshare.py:31-92).
+    */
+  private def zipSpans(cfg: RepoConfig, host: String, n: Int,
+                       zipName: String): Seq[Span] = {
+    val paths = zipPaths(cfg, host, n, zipName)
+    Span("text", s"contents of $zipName (${paths.size} entries)", "", 0) +:
+      paths.zipWithIndex.map { case ((p, sz), i) =>
+        Span("media", s"zipentry $p size: $sz", s"zip://$host/$n/$zipName/$p", i + 1)
+      }
+  }
+
+  /** Deterministic preorder walk of a 2-level directory tree. */
+  def zipPaths(cfg: RepoConfig, host: String, n: Int,
+               zipName: String): Seq[(String, Long)] = {
+    val nTop = 1 + pos(h(cfg, "zt", host, n, zipName), 6)
+    val out = Seq.newBuilder[(String, Long)]
+    var count = 0
+    (0 until nTop).foreach { i =>
+      val isDir = pos(h(cfg, "zd", n, zipName, i), 3) == 0
+      if (isDir && count < cfg.zipPreviewLimit) {
+        val dir = s"${word(h(cfg, "zw", n, i))}_$i"
+        val nIn = 1 + pos(h(cfg, "zn", n, zipName, i), 5)
+        (0 until nIn).foreach { j =>
+          if (count < cfg.zipPreviewLimit) {
+            out += ((s"$dir/${word(h(cfg, "zf", n, i, j))}_$j.gro",
+              500L + pos(h(cfg, "zs", n, i, j), 100000)))
+            count += 1
+          }
+        }
+      } else if (count < cfg.zipPreviewLimit) {
+        out += ((s"${word(h(cfg, "zf2", n, i))}_$i.mdp",
+          500L + pos(h(cfg, "zs2", n, i), 100000)))
+        count += 1
+      }
+    }
+    out.result()
+  }
+}

@@ -1,0 +1,139 @@
+package graft.model
+
+/** Core data model of the engine — the interleaved text+media document and
+  * the validated crawl-record schemas, re-expressed from the reference's
+  * Pydantic models (SURVEY.md §1.2) as Scala case classes with explicit
+  * Spark Encoders (schema-on-write, invalid rows quarantined not fatal,
+  * mirroring reference models/utils.py:14-49 drop-and-log semantics).
+  *
+  * `Doc`/`Span` is the exact `input_hint` shape:
+  *   (doc_id: string, spans: array<struct<kind, text, media_ref, offset>>)
+  * A crawled record page IS such a document: text lines (title, description,
+  * keyword rows) interleaved with media refs (file links, thumbnails,
+  * zip-preview entries) — cf. reference scrapers/gpcrmd.py:95-158 which keeps
+  * exactly "text lines + link hrefs" per page.
+  */
+final case class Span(kind: String, text: String, media_ref: String, offset: Int)
+
+final case class Doc(doc_id: String, spans: Seq[Span])
+
+/** One fetchable unit in the frontier. `discoverySeq` components mint the
+  * total logical crawl order (SURVEY.md §7.3): every order-sensitive op
+  * (first-wins dedup, drain order, crawl-order log) keys on
+  * (round, queryIdx, pageIdx, hitIdx) — never on partition iteration order.
+  */
+final case class FetchTask(
+    url: String,
+    host: String,
+    depth: Int,
+    score: Double,
+    round: Int,
+    queryIdx: Int,
+    pageIdx: Int,
+    hitIdx: Int,
+)
+
+/** A fetched page: the task it answered, HTTP-ish status, and the parsed
+  * interleaved-span document. `links` are the raw discovered outlinks in
+  * page order (frontier candidates, pre-dedup).
+  */
+final case class FetchedPage(
+    url: String,
+    host: String,
+    depth: Int,
+    status: Int,
+    doc: Doc,
+    links: Seq[DiscoveredLink],
+)
+
+/** An outlink discovered while parsing a page, with its in-page ordinal
+  * (hitIdx of the child task) and a score hint from the parser.
+  */
+final case class DiscoveredLink(url: String, kind: String, ordinal: Int, score: Double)
+
+/** Validated dataset-record row (subset of reference DatasetMetadata,
+  * models/dataset.py:73-161, that the synthetic corpus exercises).
+  */
+final case class DatasetRecord(
+    dataset_repository_name: String,
+    dataset_id_in_repository: String,
+    dataset_url_in_repository: String,
+    title: String,
+    author_names: Seq[String],
+    description: Option[String],
+    keywords: Seq[String],
+    license: Option[String],
+    doi: Option[String],
+    date_created: Option[String],
+    download_number: Option[Long],
+    view_number: Option[Long],
+    number_of_files: Option[Long],
+)
+
+/** Validated file row (reference FileMetadata, models/file.py:27-97). */
+final case class FileRecord(
+    dataset_repository_name: String,
+    dataset_id_in_repository: String,
+    dataset_url_in_repository: String,
+    file_name: String,
+    file_url_in_repository: String,
+    file_size_in_bytes: Option[Long],
+    file_md5: Option[String],
+    containing_archive_file_name: Option[String],
+    file_type: String,
+)
+
+object Validators {
+  private val DoiRe = "^10\\.\\d{4,9}/[\\w\\-./]+$".r
+  private val DateInRe =
+    "^(\\d{4}-\\d{2}-\\d{2})[T ](\\d{2}:\\d{2}:\\d{2}).*$".r
+  private val DateOnlyRe = "^(\\d{4}-\\d{2}-\\d{2})$".r
+
+  /** Reference date normalization (models/dataset.py:166-187): ISO-ish
+    * string → `%Y-%m-%dT%H:%M:%S`; unparseable → None (row keeps going,
+    * field nulled — reference logs-and-drops field-level too).
+    */
+  def normalizeDate(s: String): Option[String] = s match {
+    case DateInRe(d, t)  => Some(s"${d}T$t")
+    case DateOnlyRe(d)   => Some(s"${d}T00:00:00")
+    case _               => None
+  }
+
+  /** DOI regex gate (models/dataset.py:19-22). */
+  def validDoi(s: String): Boolean = DoiRe.matches(s)
+
+  /** Empty string / empty list → None (models/dataset.py:189-218). */
+  def emptyToNone(s: String): Option[String] =
+    Option(s).map(_.trim).filter(_.nonEmpty)
+
+  /** Python Path.suffix semantics minus the dot (models/file.py:67-80,
+    * pinned by tests/models/test_file.py:60-82): extension of the basename;
+    * `archive.tar.gz → gz`; no dot or leading-dot-only → "".
+    */
+  def fileType(name: String): String = {
+    val base = name.substring(name.lastIndexOf('/') + 1)
+    val i = base.lastIndexOf('.')
+    if (i <= 0) "" else base.substring(i + 1) match {
+      case ext if ext.contains('.') || ext.isEmpty => ""
+      case ext => ext
+    }
+  }
+
+  /** Validate a raw dataset row: required fields per the reference's
+    * `extra=forbid` + required-title contract. Left = quarantine reason.
+    */
+  def validateDataset(r: DatasetRecord): Either[String, DatasetRecord] = {
+    if (r.dataset_id_in_repository.isEmpty) Left("empty dataset_id")
+    else if (r.title.isEmpty) Left("empty title")
+    else if (r.doi.exists(d => !validDoi(d))) Left(s"bad doi: ${r.doi.get}")
+    else if (r.number_of_files.exists(_ <= 0)) Left("number_of_files <= 0")
+    else if (r.download_number.exists(_ < 0)) Left("negative downloads")
+    else Right(r.copy(date_created = r.date_created.flatMap(normalizeDate)))
+  }
+
+  def validateFile(r: FileRecord): Either[String, FileRecord] = {
+    if (r.file_name.isEmpty) Left("empty file_name")
+    else if (r.file_size_in_bytes.exists(_ < 0)) Left("negative size")
+    else Right(r.copy(file_type = fileType(r.file_name)))
+  }
+}

@@ -1,0 +1,162 @@
+package graft.tables
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.jackson.Serialization
+
+/** Glacier — an Iceberg-style snapshot-table layer written from scratch
+  * (no Iceberg runtime is resolvable offline; SURVEY.md §7.0 documents the
+  * substitution). One Glacier root holds a *catalog* of named logical
+  * tables whose state advances atomically in snapshots:
+  *
+  * {{{
+  * root/
+  *   data/snap-<id>/<table>/   immutable parquet dirs (never rewritten)
+  *   meta/snap-<id>.json       manifest: parent id, per-table file lists
+  *                             (per-partition lineage: part-file names +
+  *                             byte sizes + row counts), metrics
+  *   meta/CURRENT              atomic pointer (tmp-write + ATOMIC_MOVE)
+  * }}}
+  *
+  * Semantics:
+  *  - `Append` table: snapshot's file list = parent's list ++ new dir
+  *    (seen set, crawl-order log, docs — monotone state).
+  *  - `Replace` table: file list = new dir only (frontier — rewritten
+  *    each round).
+  *  - Time travel: `read(table, Some(snapshotId))` unions exactly that
+  *    snapshot's file list.
+  *  - Crash safety: data + manifest are written first; the commit *is* the
+  *    pointer rename. A crash before the rename leaves the previous
+  *    snapshot current and only orphan data files (never a torn table).
+  *
+  * At cluster scale the same layout works on any Hadoop-compatible FS;
+  * the pointer rename maps to a conditional-put / metastore swap. Local
+  * java.nio is used here because the sandbox FS is POSIX.
+  */
+final class Glacier(val root: String) {
+  import Glacier._
+  // expose the commit vocabulary through the instance for call-site brevity
+  val Append: Glacier.Append.type = Glacier.Append
+  val Replace: Glacier.Replace.type = Glacier.Replace
+  def TableWrite(table: String, df: DataFrame, mode: Mode): Glacier.TableWrite =
+    Glacier.TableWrite(table, df, mode)
+
+  private implicit val fmts: Formats = DefaultFormats
+
+  private def metaDir: Path = Paths.get(root, "meta")
+  private def dataDir(snap: Long): String = s"$root/data/snap-$snap"
+
+  // ---- read side -----------------------------------------------------------
+
+  def currentSnapshotId: Option[Long] = {
+    val p = metaDir.resolve("CURRENT")
+    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
+  }
+
+  def manifest(id: Long): Manifest = {
+    val json = Files.readString(metaDir.resolve(s"snap-$id.json"))
+    JsonMethods.parse(json).extract[Manifest]
+  }
+
+  def currentManifest: Option[Manifest] = currentSnapshotId.map(manifest)
+
+  def history: Seq[Manifest] = {
+    currentManifest match {
+      case None => Nil
+      case Some(m) =>
+        Iterator.iterate(Option(m))(_.flatMap(_.parentId).map(manifest))
+          .takeWhile(_.isDefined).flatten.toSeq.reverse
+    }
+  }
+
+  /** Read a table at a snapshot (default: current). Missing table/snapshot
+    * → None (caller supplies the empty-state Dataset; schemas live with the
+    * caller's Encoders, not the table layer).
+    */
+  def read(spark: SparkSession, table: String,
+           snapshotId: Option[Long] = None): Option[DataFrame] = {
+    val id = snapshotId.orElse(currentSnapshotId)
+    id.map(manifest).flatMap(_.tables.get(table)).flatMap { st =>
+      if (st.files.isEmpty) None
+      else Some(spark.read.parquet(st.files: _*))
+    }
+  }
+
+  def rowCount(table: String, snapshotId: Option[Long] = None): Long =
+    snapshotId.orElse(currentSnapshotId).map(manifest)
+      .flatMap(_.tables.get(table)).map(_.rows).getOrElse(0L)
+
+  // ---- commit --------------------------------------------------------------
+
+  /** Atomically commit one snapshot containing all `writes` plus carried-
+    * forward state of untouched tables. Returns the new snapshot id.
+    */
+  def commit(spark: SparkSession, writes: Seq[TableWrite],
+             metrics: Map[String, Long] = Map.empty,
+             note: String = ""): Long = synchronized {
+    Files.createDirectories(metaDir)
+    val parent = currentManifest
+    val newId = parent.map(_.snapshotId + 1).getOrElse(1L)
+
+    val written: Map[String, TableState] = writes.map { w =>
+      val dir = s"${dataDir(newId)}/${w.table}"
+      w.df.write.mode("overwrite").parquet(dir)
+      val local = Paths.get(dir)
+      val parts = Files.list(local).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => FileEntry(p.getFileName.toString, Files.size(p)))
+        .toList.sortBy(_.path)
+      // row count from parquet metadata (footer-only scan)
+      val rows = spark.read.parquet(dir).count()
+      val parentFiles = w.mode match {
+        case Append =>
+          parent.flatMap(_.tables.get(w.table)).map(_.files).getOrElse(Nil)
+        case Replace => Nil
+      }
+      val parentRows = w.mode match {
+        case Append =>
+          parent.flatMap(_.tables.get(w.table)).map(_.rows).getOrElse(0L)
+        case Replace => 0L
+      }
+      w.table -> TableState(parentFiles :+ dir, parentRows + rows, parts)
+    }.toMap
+
+    val carried = parent.map(_.tables).getOrElse(Map.empty) -- written.keySet
+    val m = Manifest(newId, parent.map(_.snapshotId), carried ++ written,
+                     metrics, note)
+
+    Files.writeString(metaDir.resolve(s"snap-$newId.json"),
+                      Serialization.writePretty(m))
+    // the atomic commit point:
+    val tmp = metaDir.resolve(s"CURRENT.tmp-$newId")
+    Files.writeString(tmp, newId.toString)
+    Files.move(tmp, metaDir.resolve("CURRENT"),
+               StandardCopyOption.ATOMIC_MOVE,
+               StandardCopyOption.REPLACE_EXISTING)
+    newId
+  }
+}
+
+object Glacier {
+  /** One parquet part-file: lineage unit (name, bytes, rows unknown=-1). */
+  final case class FileEntry(path: String, bytes: Long)
+  final case class TableState(files: List[String], rows: Long,
+                              partitions: List[FileEntry])
+  final case class Manifest(
+      snapshotId: Long,
+      parentId: Option[Long],
+      tables: Map[String, TableState],
+      metrics: Map[String, Long],
+      note: String,
+  )
+
+  sealed trait Mode
+  case object Append extends Mode
+  case object Replace extends Mode
+  final case class TableWrite(table: String, df: DataFrame, mode: Mode)
+
+}

@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.crawl._
+import graft.crawl.CrawlLoop.CrawlConfig
+import graft.model._
+
+/** Parity of the distributed crawl engine against the sequential oracle
+  * ([[ReferenceCrawl]]): crawl-order log, exact URL-seen set, per-row
+  * span-sequence equality (kind, text, media_ref, order), validated
+  * records, per-round metrics — plus resume-from-snapshot equality.
+  * These are the north-rule invariants (BASELINE.json).
+  */
+class CrawlParitySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+
+  private val repo = RepoConfig(seed = 42L, universe = 400,
+    fileTypes = Seq("gro", "mdp"), pageSize = 20, maxHitsPerQuery = 100)
+  private val budget = Map("zenodo" -> 40, "figshare" -> 25, "osf" -> 30)
+  private val maxRounds = 12
+
+  private def cfg(root: String) = CrawlConfig(repo, budget, maxRounds, root,
+    salts = 4, bloomShards = 8, bloomExpectedPerShard = 1 << 12)
+
+  private lazy val oracle = ReferenceCrawl.run(repo, budget, maxRounds)
+
+  private lazy val engineRoot = {
+    val root = Files.createTempDirectory("crawl-parity").toString
+    CrawlLoop.run(spark, cfg(root))
+    root
+  }
+
+  private def g = new graft.tables.Glacier(engineRoot)
+
+  test("oracle crawl is non-trivial (exercises dedup, robots, subcrawls, 404s)") {
+    assert(oracle.log.size > 300)
+    assert(oracle.log.exists(_.status === 404))
+    assert(oracle.metrics.exists(_("seen_hits") > 0))
+    assert(oracle.metrics.exists(_("dup_in_round") > 0))
+    assert(oracle.metrics.exists(_("robots_excluded") > 0))
+    assert(oracle.docs.keys.exists(_.startsWith("zenodo://preview/")))
+    assert(oracle.docs.keys.exists(_.startsWith("figshare://article/")))
+    assert(oracle.docs.keys.exists(_.startsWith("osf://node/")))
+    assert(oracle.files.exists(_.containing_archive_file_name.isDefined))
+  }
+
+  test("crawl-order log matches the oracle exactly") {
+    val engineLog = g.read(spark, "crawl_log").get
+      .orderBy("round", "seqInRound")
+      .collect()
+      .map(r => LogEntry(r.getAs[Int]("round"), r.getAs[Int]("seqInRound"),
+        r.getAs[String]("url"), r.getAs[String]("host"),
+        r.getAs[Int]("depth"), r.getAs[Int]("status"), r.getAs[Int]("nLinks")))
+      .toVector
+    assert(engineLog.size === oracle.log.size)
+    engineLog.zip(oracle.log).zipWithIndex.foreach { case ((e, o), i) =>
+      assert(e === o, s"log mismatch at position $i")
+    }
+  }
+
+  test("URL-seen set matches exactly") {
+    val engineSeen = g.read(spark, "seen").get
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(engineSeen === oracle.seen)
+  }
+
+  test("span sequences match per document (kind, text, media_ref, order)") {
+    val engineDocs = g.read(spark, "docs").get
+    assert(engineDocs.select("doc_id").distinct().count().toInt === oracle.docs.size)
+    val collected = engineDocs
+      .select(col("doc_id"), col("spans"))
+      .collect()
+      .map { r =>
+        val spans = r.getSeq[org.apache.spark.sql.Row](1).map { s =>
+          Span(s.getString(0), s.getString(1), s.getString(2), s.getInt(3))
+        }
+        r.getString(0) -> spans
+      }.toMap
+    assert(collected.keySet === oracle.docs.keySet)
+    // full sequence equality on a deterministic sample + global count
+    oracle.docs.foreach { case (id, spans) =>
+      assert(collected(id) === spans, s"span mismatch for $id")
+    }
+  }
+
+  test("validated dataset / file records match (as multisets + order key)") {
+    import spark.implicits._
+    val eng = g.read(spark, "datasets").get
+      .orderBy("round", "seqInRound", "ordinal")
+      .drop("round", "seqInRound", "ordinal")
+      .as[DatasetRecord].collect().toVector
+    assert(eng === oracle.datasets)
+
+    val engF = g.read(spark, "files").get
+      .orderBy("round", "seqInRound", "ordinal")
+      .drop("round", "seqInRound", "ordinal")
+      .as[FileRecord].collect().toVector
+    assert(engF === oracle.files)
+  }
+
+  test("per-round metrics match the oracle") {
+    val hist = g.history.filter(_.note.startsWith("round"))
+    val engineMetrics = hist.map(_.metrics)
+    assert(engineMetrics.size === oracle.metrics.size)
+    engineMetrics.zip(oracle.metrics).foreach { case (e, o) =>
+      o.foreach { case (k, v) =>
+        if (k != "frontier_pending") // engine tracks it via rowCount instead
+          assert(e.getOrElse(k, -1L) === v, s"metric $k @ round ${o("round")}")
+      }
+    }
+  }
+
+  test("resume from a mid-crawl snapshot reproduces the identical final state") {
+    // run 3 rounds, "crash", then resume to completion
+    val root2 = Files.createTempDirectory("crawl-resume").toString
+    val c = cfg(root2).copy(maxRounds = 3)
+    CrawlLoop.run(spark, c)
+    val g2 = new graft.tables.Glacier(root2)
+    val midRounds = g2.currentManifest.get.metrics("round")
+    assert(midRounds === 3L)
+    // resume with the full budget of rounds
+    CrawlLoop.run(spark, cfg(root2))
+
+    val logA = g.read(spark, "crawl_log").get
+      .orderBy("round", "seqInRound")
+      .select("round", "seqInRound", "url", "status")
+      .collect().map(_.toString).toVector
+    val logB = new graft.tables.Glacier(root2).read(spark, "crawl_log").get
+      .orderBy("round", "seqInRound")
+      .select("round", "seqInRound", "url", "status")
+      .collect().map(_.toString).toVector
+    assert(logA === logB)
+
+    val seenB = new graft.tables.Glacier(root2).read(spark, "seen").get
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(seenB === oracle.seen)
+  }
+}
