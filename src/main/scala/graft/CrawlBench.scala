@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.crawl._
+import graft.crawl.CrawlLoop.CrawlConfig
+
+/** North-rule scaling bench: run the identical synthetic crawl at a given
+  * parallelism and report URLs fetched+deduped/sec. The driver note pins the
+  * evidence protocol: no real cluster in the sandbox, so two-cluster-size
+  * scaling is evidenced by the SAME input at local[8] vs local[32]; see
+  * BENCH.md for the recorded pair + efficiency = (T8/T32)/4.
+  *
+  *   SPARK_GRAFT_CPUS=8  sbt "runMain graft.CrawlBench"
+  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.CrawlBench"
+  *
+  * Prints one JSON line: urls fetched, wall seconds, urls/sec, a
+  * parallelism-invariant checksum of the crawl-order log (equality across
+  * the two runs is the determinism evidence), and config echo.
+  */
+object CrawlBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    // scale knob: total URL volume grows with SPARK_GRAFT_CRAWL_SCALE
+    val scale = sys.env.getOrElse("SPARK_GRAFT_CRAWL_SCALE", "1").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory",
+        sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val repo = RepoConfig(seed = 7L, universe = 30000 * scale,
+      fileTypes = Seq("gro", "mdp", "xtc", "top"),
+      pageSize = 100, maxHitsPerQuery = 10000)
+    val budget = Map("zenodo" -> 4000 * scale, "figshare" -> 3000 * scale,
+      "osf" -> 3000 * scale)
+    val root = Files.createTempDirectory(s"crawl-bench-$cpus").toString
+    // salts is a LOGICAL constant (drain candidates = salts × budget per
+    // host) — identical at every parallelism so the two cluster-size runs
+    // execute the same logical plan on the same input.
+    val cfg = CrawlConfig(repo, budget, maxRounds = 8, root,
+      salts = 8, bloomShards = 64, bloomExpectedPerShard = 1L << 16)
+
+    val t0 = System.nanoTime()
+    val g = CrawlLoop.run(spark, cfg)
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    val log = g.read(spark, "crawl_log").get
+    val urls = log.count()
+    // order-invariant checksum over the logical crawl order
+    val checksum = log.select(
+      sum(xxhash64(col("round"), col("seqInRound"), col("url"), col("status"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("c"))
+      .collect()(0).getDecimal(0).toBigInteger.toString
+    val seen = g.rowCount("seen")
+    val docs = g.rowCount("docs")
+    println(s"""{"metric":"crawl_urls_per_sec","value":${urls / secs},""" +
+      s""""unit":"urls/sec","cpus":$cpus,"scale":$scale,"urls":$urls,""" +
+      s""""seconds":$secs,"seen":$seen,"docs":$docs,""" +
+      s""""log_checksum":"$checksum"}""")
+    spark.stop()
+  }
+}

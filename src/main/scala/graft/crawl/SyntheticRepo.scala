@@ -148,10 +148,15 @@ object SyntheticRepo {
     if (page > nPages) return Seq(Span("text", s"no results page=$page", "", 0))
     val from = (page - 1) * cfg.pageSize
     val until = math.min(total, from + cfg.pageSize)
+    // Page 1 links to ALL remaining pages — the reference's count-probe +
+    // page-expansion (zenodo.py:480-489 probes hits.total with size=1, then
+    // drives pages 1..total/100+1; pages are independent, so the frontier
+    // gets full breadth immediately instead of a next-page cursor chain).
     val header = Seq(
       Span("text", s"results for filetype:$ft page $page of $nPages total $total", "", 0),
-    ) ++ (if (page < nPages)
-      Seq(Span("media", s"next page", s"$host://search/$ft/${page + 1}", 1))
+    ) ++ (if (page == 1)
+      (2 to nPages).map(p =>
+        Span("media", s"page $p", s"$host://search/$ft/$p", p - 1))
     else Seq.empty)
     val hits = (from until until).zipWithIndex.flatMap { case (k, i) =>
       val n = hitDataset(cfg, host, ft, k)
@@ -167,6 +172,31 @@ object SyntheticRepo {
       }
     }
     header ++ hits
+  }
+
+  /** Realistic record-page body: ~8 sentences of markup-laden prose (the
+    * reference strips real repository HTML, toolbox.py:212-245; a crawl
+    * page is KBs, not a one-liner — page weight is part of what the
+    * throughput metric measures).
+    */
+  def descriptionHtml(cfg: RepoConfig, host: String, n: Int): String = {
+    val sb = new java.lang.StringBuilder(1024)
+    sb.append("<p>")
+    var s = 0
+    while (s < 8) {
+      sb.append("<b>").append(word(h(cfg, "ds", host, n, s)).capitalize)
+        .append("</b> ")
+      var w = 0
+      while (w < 11) {
+        sb.append(word(h(cfg, "dw", host, n, s, w)))
+        sb.append(if (w == 5) ",\t" else " ")
+        w += 1
+      }
+      sb.append("simulation&nbsp;data.  ")
+      s += 1
+    }
+    sb.append("</p>")
+    sb.toString
   }
 
   def titleOf(cfg: RepoConfig, host: String, n: Int): String =
@@ -193,7 +223,7 @@ object SyntheticRepo {
       at("text", s"doi: 10.5281/$host.$n"),
       at("text", s"date: 20${10 + pos(h(cfg, "y", host, n), 15)}-0${1 + pos(h(cfg, "m", host, n), 9)}-1${pos(h(cfg, "d", host, n), 9)}T08:30:00"),
       at("text", s"keywords: ${word(h(cfg, "k1", n))}; ${word(h(cfg, "k2", n))}"),
-      at("text", s"description: ${word(h(cfg, "w1", n))} ${word(h(cfg, "w2", n))} ${word(h(cfg, "w3", n))}."),
+      at("text", s"description: ${descriptionHtml(cfg, host, n)}"),
       at("text", s"downloads: ${pos(h(cfg, "dl", host, n), 5000)} views: ${pos(h(cfg, "vw", host, n), 50000)}"),
       at("text", s"license: ${if (pos(h(cfg, "lic", n), 3) == 0) "CC-BY-4.0" else "MIT"}"),
     )

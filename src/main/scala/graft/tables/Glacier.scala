@@ -42,8 +42,9 @@ final class Glacier(val root: String) {
   // expose the commit vocabulary through the instance for call-site brevity
   val Append: Glacier.Append.type = Glacier.Append
   val Replace: Glacier.Replace.type = Glacier.Replace
-  def TableWrite(table: String, df: DataFrame, mode: Mode): Glacier.TableWrite =
-    Glacier.TableWrite(table, df, mode)
+  def TableWrite(table: String, df: DataFrame, mode: Mode,
+                 rows: Option[() => Long] = None): Glacier.TableWrite =
+    Glacier.TableWrite(table, df, mode, rows)
 
   private implicit val fmts: Formats = DefaultFormats
 
@@ -96,22 +97,45 @@ final class Glacier(val root: String) {
     * forward state of untouched tables. Returns the new snapshot id.
     */
   def commit(spark: SparkSession, writes: Seq[TableWrite],
-             metrics: Map[String, Long] = Map.empty,
+             metrics: => Map[String, Long] = Map.empty,
              note: String = ""): Long = synchronized {
     Files.createDirectories(metaDir)
     val parent = currentManifest
     val newId = parent.map(_.snapshotId + 1).getOrElse(1L)
 
+    val verbose = sys.env.contains("SPARK_GRAFT_COMMIT_VERBOSE")
+    // Independent tables write CONCURRENTLY: each is its own Spark job, and
+    // a lone small job cannot fill a large cluster — concurrent submission
+    // does (standard multi-job driver pattern; Spark block locks make
+    // shared-cache materialization race-safe). Order-sensitive effects
+    // (manifest, row-count thunks) happen after the barrier below.
+    locally {
+      val par = sys.env.getOrElse("SPARK_GRAFT_COMMIT_PAR", "4").toInt
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(par, writes.size)))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks: Seq[java.util.concurrent.Callable[Unit]] = writes.map { w =>
+          () => {
+            val t0 = System.nanoTime()
+            w.df.write.mode("overwrite").parquet(s"${dataDir(newId)}/${w.table}")
+            if (verbose) System.err.println(
+              f"[commit] snap-$newId ${w.table}%-10s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+          }
+        }
+        pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
+      } finally pool.shutdown()
+    }
     val written: Map[String, TableState] = writes.map { w =>
       val dir = s"${dataDir(newId)}/${w.table}"
-      w.df.write.mode("overwrite").parquet(dir)
       val local = Paths.get(dir)
       val parts = Files.list(local).iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet"))
         .map(p => FileEntry(p.getFileName.toString, Files.size(p)))
         .toList.sortBy(_.path)
-      // row count from parquet metadata (footer-only scan)
-      val rows = spark.read.parquet(dir).count()
+      // caller-known count (a thunk, so Observation-backed metrics fired
+      // by this very write can supply it), else read-back count
+      val rows = w.rows.map(_.apply()).getOrElse(spark.read.parquet(dir).count())
       val parentFiles = w.mode match {
         case Append =>
           parent.flatMap(_.tables.get(w.table)).map(_.files).getOrElse(Nil)
@@ -157,6 +181,11 @@ object Glacier {
   sealed trait Mode
   case object Append extends Mode
   case object Replace extends Mode
-  final case class TableWrite(table: String, df: DataFrame, mode: Mode)
+  /** `rows`: caller-known row count of `df`; when provided the commit skips
+    * the read-back count job (the crawl loop already knows every delta's
+    * cardinality from its metric aggregations).
+    */
+  final case class TableWrite(table: String, df: DataFrame, mode: Mode,
+                              rows: Option[() => Long] = None)
 
 }
