@@ -1,5 +1,14 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR, then runs a fixed-size synthetic crawl and reports
+  * the north-rule metric (URLs fetched+deduped/sec) alongside. One JSON
+  * line on stdout. Scaling evidence across two parallelism levels lives in
+  * BENCH.md (driver protocol: local[8] vs local[32], best-of-3 — this
+  * sandbox has no multi-executor cluster and heavy external load noise).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -18,7 +27,27 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- north-rule metric: synthetic crawl throughput -------------------
+    val crawlJson =
+      try {
+        val repo = crawl.RepoConfig(seed = 7L, universe = 60000,
+          fileTypes = Seq("gro", "mdp", "xtc", "top"))
+        val cfg = crawl.CrawlLoop.CrawlConfig(
+          repo,
+          hostBudget = Map("zenodo" -> 16000, "figshare" -> 12000, "osf" -> 12000),
+          maxRounds = 5,
+          glacierRoot = java.nio.file.Files
+            .createTempDirectory("bench-crawl").toString,
+          salts = 8, bloomShards = 64, bloomExpectedPerShard = 1L << 16)
+        val t0 = System.nanoTime()
+        val g = crawl.CrawlLoop.run(spark, cfg)
+        val secs = (System.nanoTime() - t0) / 1e9
+        val urls = g.rowCount("crawl_log")
+        s""","crawl_urls_per_sec":${urls / secs},"crawl_urls":$urls,"crawl_seconds":$secs"""
+      } catch { case _: Throwable => "" }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$crawlJson}""")
     spark.stop()
   }
 }

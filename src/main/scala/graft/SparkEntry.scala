@@ -14,7 +14,11 @@ object SparkEntry {
       operators.ScalarQueries.entries ++
       operators.DedupOps.entries ++
       operators.SimilarityOps.entries ++
-      operators.TextAnalysis.entries
+      operators.TextAnalysis.entries ++
+      operators.SpanOps.entries ++
+      operators.MultimodalOps.entries ++
+      operators.FileParsers.entries ++
+      operators.CrawlQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -104,23 +104,7 @@ object CrawlLoop {
     import spark.implicits._
 
     val frontier = g.read(spark, "frontier").get
-    val budgetMap = typedLit(cfg.hostBudget)
-    val budget = coalesce(element_at(budgetMap, col("host")), lit(0))
-
-    // ---- phase 1: salt-local rank (parallel, prunes to salts×budget) ------
-    val salted = frontier.withColumn("salt",
-      pmod(xxhash64(col("url")), lit(cfg.salts.toLong)).cast("int"))
-    val w1 = Window.partitionBy(col("host"), col("salt")).orderBy(priority: _*)
-    val cand = salted.withColumn("r1", row_number().over(w1))
-      .filter(col("r1") <= budget)
-    // ---- phase 2: exact per-host rank on the pruned candidates ------------
-    val w2 = Window.partitionBy(col("host")).orderBy(priority: _*)
-    val ranked = cand.withColumn("rk", row_number().over(w2))
-    val selected = ranked.filter(col("rk") <= budget)
-      .drop("salt", "r1", "rk")
-    // ---- global logical order of the round (≤ Σ budget rows) --------------
-    val wSeq = Window.orderBy(priority: _*)
-    val withSeq = selected.withColumn("seqInRound", row_number().over(wSeq))
+    val withSeq = drainSelect(frontier, cfg.hostBudget, cfg.salts)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- fetch: salted-host partitioning, executor-pure -------------------
@@ -131,9 +115,15 @@ object CrawlLoop {
     val repo = cfg.repo
     val parallelism = spark.sparkContext.defaultParallelism
     val obsFetch = Observation(s"fetch_r$round")
+    // Uniform url-hash partitioning: politeness is enforced LOGICALLY by
+    // the budget drain, so the fetch stage is free to balance perfectly.
+    // (Partitioning by (host, salt) caps distinct keys at hosts×salts —
+    // with 3 hosts it starved a 32-way stage to ~20 effective tasks. On a
+    // real network you'd partition by host for connection reuse and scale
+    // salts with the host's budget; hash(url) is that same scheme in the
+    // limit of salts→budget.)
     val fetched: Dataset[RoundFetch] = withSeq
-      .repartition(parallelism, col("host"),
-        pmod(xxhash64(col("url")), lit(cfg.salts.toLong)))
+      .repartition(parallelism, xxhash64(col("url")))
       .as[SelectedTask]
       .mapPartitions { it =>
         it.map { t =>
@@ -257,6 +247,11 @@ object CrawlLoop {
     // + open cost on every seen-table read (measured: dominates late-round
     // wall time). At cluster scale deltas are large and writeParts rises
     // with them; the invariant is files sized for the data, not the cores.
+    // Only tables RE-READ by the loop get file-count bounding: `seen` is
+    // scanned every round (its listing cost compounds), `bloom` is tiny.
+    // The append-only outputs (log/docs/datasets/files) and the Replace'd
+    // frontier write at natural parallelism — coalescing them collapses
+    // their write stages to writeParts tasks at ANY core count.
     val writeParts = math.max(2, parallelism / 4)
     def bounded(df: DataFrame): DataFrame = df.coalesce(writeParts)
 
@@ -265,15 +260,15 @@ object CrawlLoop {
     // link chain (fires obsLinks/obsFirst/obsNew) — every rows-thunk and
     // the metrics map only read observations already fired.
     g.commit(spark, Seq(
-      g.TableWrite("crawl_log", bounded(log), g.Append,
+      g.TableWrite("crawl_log", log, g.Append,
         Some(() => m(obsFetch, "n"))),
-      g.TableWrite("docs", bounded(docs), g.Append,
+      g.TableWrite("docs", docs, g.Append,
         Some(() => m(obsFetch, "ok"))),
-      g.TableWrite("datasets", bounded(datasets), g.Append,
+      g.TableWrite("datasets", datasets, g.Append,
         Some(() => m(obsParsed, "dsV"))),
-      g.TableWrite("files", bounded(files), g.Append,
+      g.TableWrite("files", files, g.Append,
         Some(() => m(obsParsed, "fV"))),
-      g.TableWrite("frontier", bounded(newFrontier), g.Replace,
+      g.TableWrite("frontier", newFrontier, g.Replace,
         Some(() => pendingBefore - m(obsFetch, "n") + m(obsNew, "n"))),
       g.TableWrite("seen", bounded(newSeenUrls), g.Append,
         Some(() => m(obsNew, "n"))),
@@ -292,6 +287,32 @@ object CrawlLoop {
 
     Seq[Dataset[_]](withSeq, fetched, parsed, bloomState, newLinks)
       .foreach(_.unpersist(blocking = false))
+  }
+
+  /** Priority-queue drain: the per-host top-`budget` tasks by
+    * (score desc, discovery seq asc), with a global 1-based `seqInRound`
+    * over the selected set — the round's logical fetch order.
+    *
+    * Two-phase exact top-k: phase 1 ranks within (host, salt) partitions —
+    * parallel and skew-free, any true top-k row is in its salt's top-k —
+    * pruning the sort problem to ≤ salts×budget rows per host; phase 2
+    * ranks those exactly. A hot host with 10^9 pending never serializes a
+    * full sort on one partition (north-rule skew handling).
+    */
+  def drainSelect(frontier: DataFrame, hostBudget: Map[String, Int],
+                  salts: Int): DataFrame = {
+    val budget = coalesce(element_at(typedLit(hostBudget), col("host")), lit(0))
+    val salted = frontier.withColumn("salt",
+      pmod(xxhash64(col("url")), lit(salts.toLong)).cast("int"))
+    val w1 = Window.partitionBy(col("host"), col("salt")).orderBy(priority: _*)
+    val cand = salted.withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= budget)
+    val w2 = Window.partitionBy(col("host")).orderBy(priority: _*)
+    val selected = cand.withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= budget)
+      .drop("salt", "r1", "rk")
+    val wSeq = Window.orderBy(priority: _*)
+    selected.withColumn("seqInRound", row_number().over(wSeq))
   }
 
   private val frontierCols =

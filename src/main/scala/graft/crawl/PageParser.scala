@@ -53,6 +53,57 @@ object PageParser {
     decoded.replaceAll("[\\n\\r\\t]", " ").replaceAll(" {2,}", " ").trim
   }
 
+  /** Ingest-time dedup sketches (MinHash + SimHash + token count) over a
+    * cleaned text — the same md5-shingle scheme as operators.DedupOps
+    * (md5("perm:shingle"), min per permutation) so crawl-side and
+    * post-hoc dedup agree. Computed per record during parse: at crawl
+    * scale this is where sketching is cheapest (the text is already in
+    * CPU cache; a later pass would re-read the whole corpus).
+    */
+  val MinhashPerms = 16
+
+  def sketch(text: String): (Seq[Long], Long, Long) = {
+    val words = text.split(' ')
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def head8(d: Array[Byte]): Long = {
+      var v = 0L; var i = 0
+      while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+      v
+    }
+    val mins = Array.fill(MinhashPerms)(-1L) // unsigned max
+    var i = 0
+    while (i + 2 < words.length) {
+      val shingle = words(i) + " " + words(i + 1) + " " + words(i + 2)
+      var p = 0
+      while (p < MinhashPerms) {
+        md.reset()
+        val v = head8(md.digest((p + ":" + shingle)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        if (java.lang.Long.compareUnsigned(v, mins(p)) < 0) mins(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    // 64-bit SimHash over per-word md5 heads
+    val counts = new Array[Int](64)
+    var w = 0
+    while (w < words.length) {
+      md.reset()
+      val v = head8(md.digest(words(w)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      var b = 0
+      while (b < 64) {
+        if (((v >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      w += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sim |= (1L << b); b += 1 }
+    (mins.toSeq, sim, words.length.toLong)
+  }
+
   private val RecordRe = "^record ([a-z]-\\d+)$".r
   private val FileRe = "^file: (\\S+) size: (\\d+) md5: (\\S+)$".r
   private val ZipEntryRe = "^zipentry (\\S+) size: (\\d+)$".r
@@ -74,13 +125,16 @@ object PageParser {
     groups.map { case (id, spans) =>
       val dl = field(spans, "downloads")
         .map(_.split(" views: ")).getOrElse(Array.empty[String])
+      val desc = field(spans, "description").map(cleanText)
+      val (mh, sh, tok) = desc.map(sketch)
+        .getOrElse((Seq.fill(MinhashPerms)(-1L), 0L, 0L))
       DatasetRecord(
         dataset_repository_name = host,
         dataset_id_in_repository = id,
         dataset_url_in_repository = doc.doc_id,
         title = field(spans, "title").getOrElse(""),
         author_names = field(spans, "authors").toSeq.flatMap(_.split("; ")),
-        description = field(spans, "description").map(cleanText),
+        description = desc,
         keywords = field(spans, "keywords").toSeq.flatMap(_.split("; ")),
         license = field(spans, "license"),
         doi = field(spans, "doi"),
@@ -89,6 +143,9 @@ object PageParser {
         view_number = dl.lift(1).flatMap(_.toLongOption),
         number_of_files = Some(spans.count(s =>
           s.kind == "text" && s.text.startsWith("file: ")).toLong),
+        description_minhash = mh,
+        description_simhash = sh,
+        description_tokens = tok,
       )
     }
   }

@@ -1,0 +1,51 @@
+package graft.crawl
+
+/** Per-host politeness: token buckets in SIMULATED time. One BSP round
+  * models a fixed wall-clock window; each host's bucket refills
+  * `ratePerMinute × minutes` tokens per round, and the drain
+  * ([[CrawlLoop.drainSelect]]) spends them. Simulated time keeps tests and
+  * parity machine-independent (SURVEY.md §7.3: no wall clock in parity
+  * paths) while preserving the reference's real budgets:
+  *
+  *  - Zenodo: 100 req/min, 5000/h (docs/zenodo.md:31-35, checked at
+  *    scrapers/zenodo.py:35-74)
+  *  - Figshare: ≤1 req/s, enforced by a fixed 1 s sleep
+  *    (docs/figshare.md:33-38, core/figshare_api.py:69-73)
+  *  - OSF: no published limit; the reference sleeps 0.1-0.5 s/request →
+  *    ~120-600 req/min; we pin the conservative end.
+  *
+  * The reference's fixed pre-request sleeps become token costs, so a
+  * simulated hour of crawling runs in seconds of wall time (SURVEY §4).
+  */
+object Politeness {
+
+  final case class HostPolicy(ratePerMinute: Int, hourlyCap: Option[Int] = None)
+
+  /** The reference repositories' published envelopes. */
+  val referencePolicies: Map[String, HostPolicy] = Map(
+    "zenodo" -> HostPolicy(100, hourlyCap = Some(5000)),
+    "figshare" -> HostPolicy(60),
+    "osf" -> HostPolicy(120),
+  )
+
+  /** Tokens each host may spend in one round of `roundMinutes` simulated
+    * minutes, respecting the hourly cap when the round is long.
+    */
+  def budgets(policies: Map[String, HostPolicy],
+              roundMinutes: Double): Map[String, Int] =
+    policies.map { case (host, p) =>
+      val byRate = (p.ratePerMinute * roundMinutes).toInt
+      val byHour = p.hourlyCap
+        .map(c => (c * roundMinutes / 60.0).toInt).getOrElse(Int.MaxValue)
+      host -> math.max(1, math.min(byRate, byHour))
+    }
+
+  /** Simulated-clock timestamp of the k-th fetch a host performs within a
+    * round that starts at `roundStartSeconds` — evenly spaced at the
+    * host's rate (the token-bucket drain schedule). Recorded for lineage;
+    * never read back into control flow (determinism).
+    */
+  def scheduledSecond(policy: HostPolicy, roundStartSeconds: Long,
+                      k: Int): Double =
+    roundStartSeconds + k * (60.0 / policy.ratePerMinute)
+}

@@ -60,6 +60,11 @@ object SyntheticRepo {
       mix(a ^ mix(p.toString.##.toLong))
     }
 
+  /** Allocation-free continuation hash for hot inner loops (the varargs
+    * overload boxes + builds a Seq per call; page generation calls these
+    * millions of times and the garbage throttles high-core-count runs). */
+  @inline def hh(base: Long, a: Long): Long = mix(base ^ mix(a))
+
   private def pos(x: Long, mod: Int): Int = {
     val m = (x % mod).toInt
     if (m < 0) m + mod else m
@@ -96,19 +101,26 @@ object SyntheticRepo {
 
   // ---- seed tasks ----------------------------------------------------------
 
-  /** Page-1 search task per (host × filetype) — the crawl's seed list.
-    * queryIdx mints the deterministic discovery sequence (SURVEY §7.3). */
+  /** Seed list: every search page of every (host × filetype) query. The
+    * reference sizes the page loop with a 1-hit count probe BEFORE paging
+    * (zenodo.py:480-489, mddb.py:95-113) — the probe is part of seeding,
+    * so all pages are known, independent, and enqueueable up front
+    * (page-expansion scan, SURVEY §2.1 S1). queryIdx/pageIdx mint the
+    * deterministic discovery sequence (SURVEY §7.3).
+    */
   def seedTasks(cfg: RepoConfig): Seq[FetchTask] =
     for {
       (host, hi) <- Hosts.zipWithIndex
       (ft, fi) <- cfg.fileTypes.zipWithIndex
+      page <- 1 to pages(cfg, host, ft)
     } yield FetchTask(
-      url = s"$host://search/$ft/1", host = host, depth = 0,
+      url = s"$host://search/$ft/$page", host = host, depth = 0,
       score = 3.0, round = 0,
-      queryIdx = hi * cfg.fileTypes.size + fi, pageIdx = 0, hitIdx = 0)
+      queryIdx = hi * cfg.fileTypes.size + fi, pageIdx = page, hitIdx = 0)
 
   // ---- page generation (pure) ----------------------------------------------
 
+  private val SeedPageRe = "^[a-z]+://search/[a-z0-9]+/1$".r
   private val SearchRe = "^([a-z]+)://search/([a-z0-9]+)/(\\d+)$".r
   private val ArticleRe = "^figshare://article/(\\d+)$".r
   private val NodeRe = "^osf://node/(\\d+)$".r
@@ -120,7 +132,7 @@ object SyntheticRepo {
     val host = url.takeWhile(_ != ':')
     // deterministic 404s — but never for seed search pages (page 1)
     val dead = pos(h(cfg, "404", url), cfg.notFoundOneIn) == 0 &&
-      !url.matches("^[a-z]+://search/[a-z0-9]+/1$")
+      !SeedPageRe.matches(url)
     if (dead) {
       val doc = Doc(url, Seq.empty)
       return FetchedPage(url, host, 0, 404, doc, Seq.empty)
@@ -174,21 +186,22 @@ object SyntheticRepo {
     header ++ hits
   }
 
-  /** Realistic record-page body: ~8 sentences of markup-laden prose (the
+  /** Realistic record-page body: ~32 sentences (~400 words) of markup-laden prose (the
     * reference strips real repository HTML, toolbox.py:212-245; a crawl
     * page is KBs, not a one-liner — page weight is part of what the
     * throughput metric measures).
     */
   def descriptionHtml(cfg: RepoConfig, host: String, n: Int): String = {
     val sb = new java.lang.StringBuilder(1024)
+    val base = h(cfg, "desc", host, n) // one boxed call; the loops are free
     sb.append("<p>")
     var s = 0
-    while (s < 8) {
-      sb.append("<b>").append(word(h(cfg, "ds", host, n, s)).capitalize)
+    while (s < 32) {
+      sb.append("<b>").append(word(hh(base, 1000L + s)).capitalize)
         .append("</b> ")
       var w = 0
       while (w < 11) {
-        sb.append(word(h(cfg, "dw", host, n, s, w)))
+        sb.append(word(hh(base, s.toLong * 16 + w)))
         sb.append(if (w == 5) ",\t" else " ")
         w += 1
       }

@@ -68,6 +68,13 @@ final case class DatasetRecord(
     download_number: Option[Long],
     view_number: Option[Long],
     number_of_files: Option[Long],
+    /** ingest-time dedup sketches over the cleaned description — a
+      * training-data crawl computes these at parse so downstream
+      * dedup never re-reads the corpus (same md5-shingle scheme as
+      * operators.DedupOps). */
+    description_minhash: Seq[Long],
+    description_simhash: Long,
+    description_tokens: Long,
 )
 
 /** Validated file row (reference FileMetadata, models/file.py:27-97). */

@@ -1,0 +1,58 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryEntry
+import graft.crawl._
+import graft.crawl.CrawlLoop.CrawlConfig
+
+/** End-to-end crawl-engine queries on the driver surface. No SQL oracle —
+  * the crawl is not SQL-expressible (driver records the rows-only check);
+  * its real gate is CrawlParitySpec (sequential-oracle equality) — but
+  * running it through Verify proves the whole engine drives end-to-end in
+  * the driver's harness and dumps inspectable artifacts.
+  */
+object CrawlQueries {
+
+  private val repo = RepoConfig(seed = 42L, universe = 400,
+    fileTypes = Seq("gro", "mdp"), pageSize = 20, maxHitsPerQuery = 100)
+  private val budget = Map("zenodo" -> 40, "figshare" -> 25, "osf" -> 30)
+
+  /** One micro-crawl per session (sfDir-independent), memoized. */
+  @volatile private var cached: Option[(SparkSession, graft.tables.Glacier)] = None
+  private def glacier(s: SparkSession): graft.tables.Glacier = synchronized {
+    cached match {
+      case Some((sess, g)) if sess eq s => g
+      case _ =>
+        val root = Files.createTempDirectory("crawl-q").toString
+        val g = CrawlLoop.run(s,
+          CrawlConfig(repo, budget, maxRounds = 12, root,
+            salts = 4, bloomShards = 8, bloomExpectedPerShard = 1 << 12))
+        cached = Some((s, g))
+        g
+    }
+  }
+
+  def entries: Seq[QueryEntry] = Seq(
+    // the crawl-order log — the parity artifact, in logical order
+    QueryEntry("q_crawl_log", (s, _) =>
+      glacier(s).read(s, "crawl_log").get.orderBy("round", "seqInRound")),
+    // exact URL-seen set (sorted for stable output)
+    QueryEntry("q_crawl_seen", (s, _) =>
+      glacier(s).read(s, "seen").get.orderBy("url")),
+    // interleaved span documents, exploded to flat comparable rows
+    QueryEntry("q_crawl_docs", (s, _) =>
+      glacier(s).read(s, "docs").get
+        .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "sp")))
+        .select(col("doc_id"), col("sp.kind"), col("sp.text"),
+          col("sp.media_ref"), col("sp.offset").as("soff"))
+        .orderBy("doc_id", "soff")),
+    // validated dataset records in discovery order
+    QueryEntry("q_crawl_datasets", (s, _) =>
+      glacier(s).read(s, "datasets").get
+        .orderBy("round", "seqInRound", "ordinal")),
+  )
+}

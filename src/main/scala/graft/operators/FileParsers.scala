@@ -1,0 +1,206 @@
+package graft.operators
+
+import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Simulation-input file parsers, re-expressing the reference ETL scripts:
+  *
+  *  - `.mdp` parameter extraction (scripts/parse_mdp_files.py:27-32,91-143):
+  *    case-insensitive `key = value` regexes, LAST match wins, plus the
+  *    thermostat/barostat normalization tables (C13,
+  *    parse_mdp_files.py:37-52,146-194).
+  *  - `.gro` content classification (scripts/parse_gro_files.py:124-175):
+  *    fixed-width format — line 2 = atom count, columns 6-10 of each atom
+  *    line = residue name — membership flags against residue classes.
+  *
+  * File bodies are synthesized deterministically from the `documents`
+  * table, identically in Spark and the DuckDB oracle; the parse logic is
+  * pure codegen'd column expressions (no UDFs).
+  */
+object FileParsers {
+  import Tables.t
+
+  // ---- shared synthesis: one .mdp body per document -----------------------
+  private def pick(mod: Int, opts: Seq[String], c: Column): Column = {
+    val cases = opts.zipWithIndex
+    cases.tail.foldLeft(when(pmod(c, lit(mod)) === cases.head._2, cases.head._1)) {
+      case (acc, (o, i)) => acc.when(pmod(c, lit(mod)) === i, o)
+    }.otherwise(opts.head)
+  }
+
+  private val tcoupls =
+    Seq("no", "berendsen", "Nose-Hoover", "v-rescale", "nose_hoover", "ANDERSEN")
+  private val pcoupls = Seq("no", "Berendsen", "Parrinello-Rahman", "c-rescale")
+
+  /** mdp body: comments, key=value lines (mixed case/spacing), a duplicated
+    * `dt` on every 5th doc (last-match-wins semantics), junk lines. */
+  def mdpContent: Column = {
+    val id = col("doc_id")
+    concat_ws("\n",
+      concat(lit("; sample mdp for doc "), id),
+      concat(lit("integrator = "), pick(2, Seq("md", "sd"), id)),
+      concat(lit("DT = 0.00"), (pmod(id, lit(4)) + 1)),
+      concat(lit("nsteps  =  "), id * 1000),
+      lit("; a comment line"),
+      concat(lit("tcoupl = "), pick(6, tcoupls, id)),
+      concat(lit("Pcoupl = "), pick(4, pcoupls, id)),
+      concat(lit("ref_t = "), (pmod(id, lit(41)) + 280)),
+      when(pmod(id, lit(5)) === 0, lit("dt = 0.009")).otherwise(lit("")),
+    )
+  }
+
+  private val sqlTcoupl =
+    "CASE doc_id % 6 WHEN 0 THEN 'no' WHEN 1 THEN 'berendsen' WHEN 2 THEN 'Nose-Hoover' WHEN 3 THEN 'v-rescale' WHEN 4 THEN 'nose_hoover' ELSE 'ANDERSEN' END"
+  private val sqlPcoupl =
+    "CASE doc_id % 4 WHEN 0 THEN 'no' WHEN 1 THEN 'Berendsen' WHEN 2 THEN 'Parrinello-Rahman' ELSE 'c-rescale' END"
+  private val sqlMdp =
+    s"""SELECT doc_id,
+         '; sample mdp for doc ' || doc_id || chr(10) ||
+         'integrator = ' || (CASE WHEN doc_id % 2 = 0 THEN 'md' ELSE 'sd' END) || chr(10) ||
+         'DT = 0.00' || (doc_id % 4 + 1) || chr(10) ||
+         'nsteps  =  ' || (doc_id * 1000) || chr(10) ||
+         '; a comment line' || chr(10) ||
+         'tcoupl = ' || ($sqlTcoupl) || chr(10) ||
+         'Pcoupl = ' || ($sqlPcoupl) || chr(10) ||
+         'ref_t = ' || (doc_id % 41 + 280) || chr(10) ||
+         (CASE WHEN doc_id % 5 = 0 THEN 'dt = 0.009' ELSE '' END) AS content
+       FROM documents"""
+
+  /** last case-insensitive `key = value` match in the body (C14). */
+  def mdpField(content: Column, key: String): Column = {
+    val all = regexp_extract_all(content,
+      lit(s"(?i)$key\\s*=\\s*([^\\s\\n]+)"), lit(1))
+    element_at(all, -1)
+  }
+
+  /** C13 normalization: lowercase, strip -/_ , lookup; miss → "unknown". */
+  def normalizeCoupling(raw: Column, table: Map[String, String]): Column = {
+    val k = translate(lower(raw), "-_", "")
+    coalesce(element_at(typedLit(table), k), lit("unknown"))
+  }
+
+  val thermostatTable = Map(
+    "no" -> "no", "berendsen" -> "Berendsen", "nosehoover" -> "Nose-Hoover",
+    "andersen" -> "Andersen", "andersenmassive" -> "Andersen-massive",
+    "vrescale" -> "V-rescale")
+  val barostatTable = Map(
+    "no" -> "no", "berendsen" -> "Berendsen", "crescale" -> "C-rescale",
+    "parrinellorahman" -> "Parrinello-Rahman", "mttk" -> "MTTK")
+
+  // ---- gro synthesis + classification --------------------------------------
+  private val residues =
+    Seq("ALA", "DPPC", "SOL", "NA", "GLC", "DNA", "LYS", "POPC")
+  /** residue class sets (subset of params/residue_names.yml semantics) */
+  val proteinSet = Seq("ALA", "LYS", "ARG", "GLY")
+  val lipidSet = Seq("DPPC", "POPC", "DOPC")
+  val waterIonSet = Seq("SOL", "NA", "CL", "K")
+  val nucleicSet = Seq("DNA", "RNA", "DA", "DT")
+  val glucidSet = Seq("GLC", "GAL", "MAN")
+
+  /** gro body: title, atom-count line, fixed-width atom lines (residue name
+    * at columns 6-10, right-padded). */
+  def groContent: Column = {
+    val id = col("doc_id")
+    val nAtoms = pmod(id, lit(5)) + 3
+    val atomLines = transform(sequence(lit(1), nAtoms), i => {
+      val resIdx = pmod(id + i, lit(residues.size)).cast("int")
+      val resname = rpad(element_at(typedLit(residues), resIdx + 1), 5, " ")
+      concat(format_string("%5d", i), resname,
+        lit("  C"), i.cast("string"), lit("   "), i.cast("string"),
+        lit("   1.000   2.000   3.000"))
+    })
+    concat_ws("\n",
+      concat(lit("doc "), id, lit(" molecule")),
+      format_string("%5d", nAtoms),
+      array_join(atomLines, "\n"))
+  }
+
+  private val sqlResidues = "['ALA','DPPC','SOL','NA','GLC','DNA','LYS','POPC']"
+  private val sqlGro =
+    s"""SELECT doc_id,
+         'doc ' || doc_id || ' molecule' || chr(10) ||
+         lpad(CAST(doc_id % 5 + 3 AS VARCHAR), 5, ' ') || chr(10) ||
+         array_to_string(list_transform(range(1, CAST(doc_id % 5 + 3 AS BIGINT) + 1),
+           i -> lpad(CAST(i AS VARCHAR), 5, ' ')
+                || rpad(($sqlResidues)[CAST((doc_id + i) % 8 AS INT) + 1], 5, ' ')
+                || '  C' || i || '   ' || i || '   1.000   2.000   3.000'),
+           chr(10)) AS content
+       FROM documents"""
+
+  private def overlaps(c: Column, set: Seq[String]): Column =
+    arrays_overlap(c, typedLit(set))
+
+  def entries: Seq[QueryEntry] = Seq(
+    // ---- C14 + C13: mdp field extraction + coupling normalization ---------
+    QueryEntry(
+      "q_mdp_parse",
+      (s, dir) => {
+        val withContent = t(s, dir, "documents").select(col("doc_id"), mdpContent.as("content"))
+        withContent.select(
+            col("doc_id"),
+            mdpField(col("content"), "dt").cast("double").as("dt"),
+            mdpField(col("content"), "nsteps").cast("long").as("nsteps"),
+            mdpField(col("content"), "ref[-_ ]?t").cast("double").as("temperature"),
+            normalizeCoupling(mdpField(col("content"), "tcoupl"), thermostatTable)
+              .as("thermostat"),
+            normalizeCoupling(mdpField(col("content"), "pcoupl"), barostatTable)
+              .as("barostat"),
+            mdpField(col("content"), "integrator").as("integrator"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH m AS ($sqlMdp)
+        SELECT doc_id,
+          CAST(list_extract(regexp_extract_all(content, '(?i)dt\\s*=\\s*([^\\s\\n]+)', 1), -1) AS DOUBLE) AS dt,
+          CAST(list_extract(regexp_extract_all(content, '(?i)nsteps\\s*=\\s*([^\\s\\n]+)', 1), -1) AS BIGINT) AS nsteps,
+          CAST(list_extract(regexp_extract_all(content, '(?i)ref[-_ ]?t\\s*=\\s*([^\\s\\n]+)', 1), -1) AS DOUBLE) AS temperature,
+          CASE replace(replace(lower(list_extract(regexp_extract_all(content, '(?i)tcoupl\\s*=\\s*([^\\s\\n]+)', 1), -1)), '-', ''), '_', '')
+            WHEN 'no' THEN 'no' WHEN 'berendsen' THEN 'Berendsen'
+            WHEN 'nosehoover' THEN 'Nose-Hoover' WHEN 'andersen' THEN 'Andersen'
+            WHEN 'andersenmassive' THEN 'Andersen-massive'
+            WHEN 'vrescale' THEN 'V-rescale' ELSE 'unknown' END AS thermostat,
+          CASE replace(replace(lower(list_extract(regexp_extract_all(content, '(?i)pcoupl\\s*=\\s*([^\\s\\n]+)', 1), -1)), '-', ''), '_', '')
+            WHEN 'no' THEN 'no' WHEN 'berendsen' THEN 'Berendsen'
+            WHEN 'crescale' THEN 'C-rescale'
+            WHEN 'parrinellorahman' THEN 'Parrinello-Rahman'
+            WHEN 'mttk' THEN 'MTTK' ELSE 'unknown' END AS barostat,
+          list_extract(regexp_extract_all(content, '(?i)integrator\\s*=\\s*([^\\s\\n]+)', 1), -1) AS integrator
+        FROM m ORDER BY doc_id"""),
+    ),
+    // ---- C15: gro fixed-width parse + residue classification --------------
+    QueryEntry(
+      "q_gro_classify",
+      (s, dir) => {
+        val withContent = t(s, dir, "documents")
+          .select(col("doc_id"), groContent.as("content"))
+        val lines = split(col("content"), "\n")
+        val atomCount = trim(element_at(lines, 2)).cast("int")
+        val resnames = array_distinct(transform(
+          slice(lines, lit(3), size(lines) - 2),
+          l => trim(substring(l, 6, 5))))
+        withContent.select(
+            col("doc_id"),
+            atomCount.as("atom_number"),
+            overlaps(resnames, proteinSet).as("has_protein"),
+            overlaps(resnames, nucleicSet).as("has_nucleic"),
+            overlaps(resnames, lipidSet).as("has_lipid"),
+            overlaps(resnames, glucidSet).as("has_glucid"),
+            overlaps(resnames, waterIonSet).as("has_water_ion"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH g AS ($sqlGro),
+        p AS (SELECT doc_id,
+          CAST(trim(string_split(content, chr(10))[2]) AS INT) AS atom_number,
+          list_distinct(list_transform(string_split(content, chr(10))[3:],
+            l -> trim(substr(l, 6, 5)))) AS resnames
+        FROM g)
+        SELECT doc_id, atom_number,
+          len(list_intersect(resnames, ['ALA','LYS','ARG','GLY'])) > 0 AS has_protein,
+          len(list_intersect(resnames, ['DNA','RNA','DA','DT'])) > 0 AS has_nucleic,
+          len(list_intersect(resnames, ['DPPC','POPC','DOPC'])) > 0 AS has_lipid,
+          len(list_intersect(resnames, ['GLC','GAL','MAN'])) > 0 AS has_glucid,
+          len(list_intersect(resnames, ['SOL','NA','CL','K'])) > 0 AS has_water_ion
+        FROM p ORDER BY doc_id"""),
+    ),
+  )
+}

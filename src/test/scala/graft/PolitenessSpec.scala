@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.crawl.Politeness
+import graft.crawl.Politeness.HostPolicy
+
+class PolitenessSpec extends AnyFunSuite {
+
+  test("budgets derive from reference rate limits in simulated time") {
+    val b1 = Politeness.budgets(Politeness.referencePolicies, roundMinutes = 1)
+    // zenodo allows 100/min BUT only 5000/h: sustained budget = 5000/60 = 83
+    assert(b1("zenodo") === 83)
+    assert(b1("figshare") === 60) // 1 req/s
+    assert(b1("osf") === 120)
+
+    // hourly cap binds on long rounds: 60 simulated minutes at 100/min
+    // would be 6000, but zenodo caps at 5000/h
+    val b60 = Politeness.budgets(Politeness.referencePolicies, roundMinutes = 60)
+    assert(b60("zenodo") === 5000)
+    assert(b60("figshare") === 3600)
+  }
+
+  test("budgets never starve a host to zero") {
+    val b = Politeness.budgets(Map("slow" -> HostPolicy(1)), roundMinutes = 0.1)
+    assert(b("slow") === 1)
+  }
+
+  test("drain schedule spaces fetches at the host rate") {
+    val p = HostPolicy(60) // 1/s
+    assert(Politeness.scheduledSecond(p, 0, 0) === 0.0)
+    assert(Politeness.scheduledSecond(p, 0, 10) === 10.0)
+    assert(Politeness.scheduledSecond(p, 300, 5) === 305.0)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.crawl.SeenSet
+
+/** The URL-seen membership layer: Bloom shards route, the exact table is
+  * authoritative — a Bloom false positive must never drop a URL (north-rule
+  * exactness). The last test FORCES false positives with a tiny
+  * over-saturated filter and asserts exactness anyway.
+  */
+class SeenSetSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private val nShards = 4
+
+  test("BloomAgg custom aggregator builds per-shard filters") {
+    val urls = (0 until 500).map(i => s"u://$i").toDF("url")
+    val agg = udaf(new SeenSet.BloomAgg(1000, 0.01))
+    val shards = urls
+      .select(SeenSet.shardCol(col("url"), nShards).as("shard"), col("url"))
+      .groupBy($"shard").agg(agg($"url").as("bloom"))
+      .as[(Int, Array[Byte])].collect().toMap
+    assert(shards.nonEmpty)
+    val merged = shards.values.map(BloomFilter.readFrom)
+    // every inserted url hits its shard's filter (no false negatives)
+    val all = BloomFilter.create(1000, 0.01)
+    merged.foreach(all.mergeInPlace)
+    (0 until 500).foreach(i => assert(all.mightContainString(s"u://$i")))
+  }
+
+  test("buildShards + filterNew: exact split of new vs seen") {
+    val seen = (0 until 300).map(i => s"u://$i").toDF("url")
+    val shards = SeenSet.buildShards(seen, nShards, 1000, 0.01)
+      .as[(Int, Array[Byte])].collect().toMap
+    val candidates = (200 until 600).map(i => s"u://$i").toDF("url")
+    val fresh = SeenSet.filterNew(candidates, shards, seen, nShards)
+      .select("url").as[String].collect().toSet
+    assert(fresh === (300 until 600).map(i => s"u://$i").toSet)
+  }
+
+  test("over-saturated Bloom (many false positives) still yields exact results") {
+    // 5000 urls into filters sized for 50 → fpp ≈ 1; exact confirm must save us
+    val seen = (0 until 5000).map(i => s"u://$i").toDF("url")
+    val shards = SeenSet.buildShards(seen, nShards, 50, 0.01)
+      .as[(Int, Array[Byte])].collect().toMap
+    val candidates = (4000 until 9000).map(i => s"u://$i").toDF("url")
+    val fresh = SeenSet.filterNew(candidates, shards, seen, nShards)
+      .select("url").as[String].collect().toSet
+    assert(fresh === (5000 until 9000).map(i => s"u://$i").toSet)
+  }
+
+  test("mergeShards accumulates membership across deltas") {
+    val a = SeenSet.buildShards((0 until 100).map(i => s"a$i").toDF("url"),
+      nShards, 500, 0.01)
+    val b = SeenSet.buildShards((0 until 100).map(i => s"b$i").toDF("url"),
+      nShards, 500, 0.01)
+    val merged = SeenSet.mergeShards(a, b)
+      .as[(Int, Array[Byte])].collect().toMap
+    val f = merged.values.map(BloomFilter.readFrom)
+      .reduce { (x, y) => x.mergeInPlace(y); x }
+    (0 until 100).foreach { i =>
+      assert(f.mightContainString(s"a$i"))
+      assert(f.mightContainString(s"b$i"))
+    }
+  }
+}
