@@ -60,6 +60,14 @@ object CrawlLoop {
   private val seqCols = Seq("round", "queryIdx", "pageIdx", "hitIdx")
   private def priority = col("score").desc +: seqCols.map(c => col(c).asc)
 
+  /** Bloom sizing recorded in every snapshot's metrics so a resume can
+    * validate filter compatibility before touching any shard bytes. */
+  private def bloomSizing(cfg: CrawlConfig): Map[String, Long] = Map(
+    "bloom_shards" -> cfg.bloomShards.toLong,
+    "bloom_expected" -> cfg.bloomExpectedPerShard,
+    "bloom_fpp_x1e9" -> (cfg.bloomFpp * 1e9).round,
+  )
+
   /** Run (or resume) the crawl to completion; returns the Glacier handle. */
   def run(spark: SparkSession, cfg: CrawlConfig): Glacier = {
     import spark.implicits._
@@ -67,7 +75,19 @@ object CrawlLoop {
 
     // ---- bootstrap or resume ----------------------------------------------
     var round: Int = g.currentManifest
-      .map(_.metrics.getOrElse("round", 0L).toInt + 1).getOrElse {
+      .map { m =>
+        // Bloom deltas are merged per shard at probe time, which requires
+        // every delta built with identical sizing — fail fast on a resume
+        // with a different config (the mismatch otherwise surfaces as an
+        // IncompatibleMergeException deep inside a round).
+        val rec = (m.metrics.get("bloom_shards"),
+          m.metrics.get("bloom_expected"), m.metrics.get("bloom_fpp_x1e9"))
+        val now = (Some(cfg.bloomShards.toLong),
+          Some(cfg.bloomExpectedPerShard), Some((cfg.bloomFpp * 1e9).round))
+        require(rec._1.isEmpty || rec == now,
+          s"resume with different bloom sizing: snapshot has $rec, config has $now")
+        m.metrics.getOrElse("round", 0L).toInt + 1
+      }.getOrElse {
         val seeds = SyntheticRepo.seedTasks(cfg.repo)
           .filter(t => Robots.allowed(t.url))
         val seedDs = spark.createDataset(seeds)
@@ -77,8 +97,8 @@ object CrawlLoop {
         g.commit(spark, Seq(
           g.TableWrite("frontier", seedDs.toDF(), g.Replace),
           g.TableWrite("seen", seedUrls, g.Append),
-          g.TableWrite("bloom", bloom, g.Replace),
-        ), Map("round" -> 0L), note = "bootstrap")
+          g.TableWrite("bloom", bloom, g.Append),
+        ), bloomSizing(cfg) + ("round" -> 0L), note = "bootstrap")
         1
       }
 
@@ -104,8 +124,10 @@ object CrawlLoop {
     import spark.implicits._
 
     val frontier = g.read(spark, "frontier").get
-    val withSeq = drainSelect(frontier, cfg.hostBudget, cfg.salts)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // withSeq is a cheap projection over drainSelect's internal cache (the
+    // global numbering already needed a counts pass) — no second persist.
+    val (withSeq, releaseDrain) =
+      drainSelectManaged(frontier, cfg.hostBudget, cfg.salts)
 
     // ---- fetch: salted-host partitioning, executor-pure -------------------
     // Every cardinality metric below rides on the write actions via
@@ -191,14 +213,12 @@ object CrawlLoop {
       .withColumn("rn", row_number().over(wUrl)).filter($"rn" === 1).drop("rn")
       .observe(obsFirst, count(lit(1)).as("n"))
 
-    // seen check: Bloom fast path + exact confirm
+    // seen check: Bloom fast path (shard-cogrouped, fully distributed —
+    // no driver collect, no broadcast) + exact confirm
     val seenExact = g.read(spark, "seen").get
     val bloomState = g.read(spark, "bloom").get
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val bloomShards: Map[Int, Array[Byte]] =
-      bloomState.as[(Int, Array[Byte])].collect().toMap
     val obsNew = Observation(s"new_r$round")
-    val newLinks = SeenSet.filterNew(firstWins, bloomShards, seenExact,
+    val newLinks = SeenSet.filterNew(firstWins, bloomState, seenExact,
       cfg.bloomShards)
       .observe(obsNew, count(lit(1)).as("n"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -219,61 +239,58 @@ object CrawlLoop {
       .unionByName(newTasks.select(frontierCols: _*))
 
     val newSeenUrls = newLinks.select($"url", lit(round).as("round_seen"))
+    // Bloom state is APPEND-only: each round commits just its small delta
+    // shards; the probe merges rows per shard inside the cogroup and
+    // Glacier.compact folds deltas back to one row per shard. Rewriting the
+    // merged state every round (round 1 design) re-reads and re-writes the
+    // full ~12 GB filter set per round at the 10^10-URL design point.
     val deltaBloom = SeenSet.buildShards(newSeenUrls, cfg.bloomShards,
       cfg.bloomExpectedPerShard, cfg.bloomFpp)
-    val mergedBloom = SeenSet.mergeShards(bloomState, deltaBloom)
 
     def m(o: Observation, k: String): Long =
       o.get(k).asInstanceOf[Number].longValue()
-
-    // Stage the shared caches deterministically BEFORE the concurrent
-    // commit: fetch first (everything reads it), then parse and the
-    // link/dedup chain concurrently (disjoint, both over the cached fetch).
-    // Concurrent writes racing to materialize the same uncached chain
-    // instead serialize on block locks while occupying task slots —
-    // measured 2-3× slower at 32 cores than this explicit staging.
-    fetched.count() // fires obsFetch
-    locally {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val a = Future { parsed.count() }   // fires obsParsed
-      val b = Future { newLinks.count() } // fires obsLinks/obsFirst/obsNew
-      Await.result(a, Duration.Inf); Await.result(b, Duration.Inf)
-    }
 
     // Bound part-files per delta: an append-only table otherwise grows by
     // `parallelism` tiny files per round, and later rounds pay the listing
     // + open cost on every seen-table read (measured: dominates late-round
     // wall time). At cluster scale deltas are large and writeParts rises
     // with them; the invariant is files sized for the data, not the cores.
-    // Only tables RE-READ by the loop get file-count bounding: `seen` is
-    // scanned every round (its listing cost compounds), `bloom` is tiny.
-    // The append-only outputs (log/docs/datasets/files) and the Replace'd
+    // Only tables RE-READ by the loop get file-count bounding: `seen` and
+    // `bloom` are scanned every round (their listing cost compounds). The
+    // append-only outputs (log/docs/datasets/files) and the Replace'd
     // frontier write at natural parallelism — coalescing them collapses
     // their write stages to writeParts tasks at ANY core count.
     val writeParts = math.max(2, parallelism / 4)
     def bounded(df: DataFrame): DataFrame = df.coalesce(writeParts)
 
-    // write order matters: crawl_log materializes the fetch (fires
-    // obsFetch), datasets materializes the parse, frontier materializes the
-    // link chain (fires obsLinks/obsFirst/obsNew) — every rows-thunk and
-    // the metrics map only read observations already fired.
+    // The table writes themselves materialize the shared caches, staged so
+    // no two concurrent writes race to build the same uncached chain
+    // (racing writes serialize on block locks while occupying task slots —
+    // measured 2-3× slower at 32 cores). Stage 0: crawl_log materializes
+    // the fetch (fires obsFetch). Stage 1: docs reads the fetch cache,
+    // datasets materializes the parse (obsParsed), frontier materializes
+    // the link/dedup chain (obsLinks/obsFirst/obsNew) — disjoint chains
+    // over the cached fetch. Stage 2: files/seen/bloom read caches filled
+    // in stage 1. Every rows-thunk and the metrics map are evaluated after
+    // all stages, reading observations already fired. This replaces round
+    // 1's standalone count() staging jobs — the round fires ZERO actions
+    // that aren't table writes (minus the drain's tiny offsets collect).
     g.commit(spark, Seq(
       g.TableWrite("crawl_log", log, g.Append,
-        Some(() => m(obsFetch, "n"))),
+        Some(() => m(obsFetch, "n")), stage = 0),
       g.TableWrite("docs", docs, g.Append,
-        Some(() => m(obsFetch, "ok"))),
+        Some(() => m(obsFetch, "ok")), stage = 1),
       g.TableWrite("datasets", datasets, g.Append,
-        Some(() => m(obsParsed, "dsV"))),
-      g.TableWrite("files", files, g.Append,
-        Some(() => m(obsParsed, "fV"))),
+        Some(() => m(obsParsed, "dsV")), stage = 1),
       g.TableWrite("frontier", newFrontier, g.Replace,
-        Some(() => pendingBefore - m(obsFetch, "n") + m(obsNew, "n"))),
+        Some(() => pendingBefore - m(obsFetch, "n") + m(obsNew, "n")),
+        stage = 1),
+      g.TableWrite("files", files, g.Append,
+        Some(() => m(obsParsed, "fV")), stage = 2),
       g.TableWrite("seen", bounded(newSeenUrls), g.Append,
-        Some(() => m(obsNew, "n"))),
-      g.TableWrite("bloom", bounded(mergedBloom), g.Replace),
-    ), metrics = Map(
+        Some(() => m(obsNew, "n")), stage = 2),
+      g.TableWrite("bloom", bounded(deltaBloom), g.Append, stage = 2),
+    ), metrics = bloomSizing(cfg) ++ Map(
       "round" -> round.toLong,
       "fetched" -> m(obsFetch, "n"),
       "ok" -> m(obsFetch, "ok"),
@@ -285,7 +302,8 @@ object CrawlLoop {
       "files_quarantined" -> m(obsParsed, "fQ"),
     ), note = s"round $round")
 
-    Seq[Dataset[_]](withSeq, fetched, parsed, bloomState, newLinks)
+    releaseDrain()
+    Seq[Dataset[_]](fetched, parsed, newLinks)
       .foreach(_.unpersist(blocking = false))
   }
 
@@ -298,9 +316,13 @@ object CrawlLoop {
     * pruning the sort problem to ≤ salts×budget rows per host; phase 2
     * ranks those exactly. A hot host with 10^9 pending never serializes a
     * full sort on one partition (north-rule skew handling).
+    *
+    * The returned DataFrame reads from an internal cache (the global
+    * numbering needs two passes); call the second element to release it
+    * once the round's downstream consumers are materialized.
     */
-  def drainSelect(frontier: DataFrame, hostBudget: Map[String, Int],
-                  salts: Int): DataFrame = {
+  def drainSelectManaged(frontier: DataFrame, hostBudget: Map[String, Int],
+                         salts: Int): (DataFrame, () => Unit) = {
     val budget = coalesce(element_at(typedLit(hostBudget), col("host")), lit(0))
     val salted = frontier.withColumn("salt",
       pmod(xxhash64(col("url")), lit(salts.toLong)).cast("int"))
@@ -311,8 +333,52 @@ object CrawlLoop {
     val selected = cand.withColumn("rk", row_number().over(w2))
       .filter(col("rk") <= budget)
       .drop("salt", "r1", "rk")
-    val wSeq = Window.orderBy(priority: _*)
-    selected.withColumn("seqInRound", row_number().over(wSeq))
+    assignGlobalSeq(selected)
+  }
+
+  /** Test/ad-hoc variant that leaks the (tiny, budget-bounded) cache. */
+  def drainSelect(frontier: DataFrame, hostBudget: Map[String, Int],
+                  salts: Int): DataFrame =
+    drainSelectManaged(frontier, hostBudget, salts)._1
+
+  /** Global dense 1-based `seqInRound` by `priority` with NO global window
+    * (a `Window.orderBy` without partitioning funnels every row through one
+    * partition — the round-1 scale-killer). Instead: range-repartition on
+    * the sort key (parallel, sampled boundaries, skew-free), sort within
+    * partitions, number rows as partitionOffset + local index — the
+    * Dataset-native form of RDD.zipWithIndex. The offsets come from a
+    * #partitions-row aggregate collected to the driver; rank keys are
+    * unique (the minted discovery sequence), so the numbering is exact and
+    * deterministic at any parallelism.
+    */
+  private def assignGlobalSeq(selected: DataFrame): (DataFrame, () => Unit) = {
+    val spark = selected.sparkSession
+    val nParts = math.max(1, spark.sparkContext.defaultParallelism)
+    // monotonically_increasing_id = partitionId << 33 | indexInPartition;
+    // after a range partition + in-partition sort it is globally monotone
+    // with the priority order.
+    val ordered = selected
+      .repartitionByRange(nParts, priority: _*)
+      .sortWithinPartitions(priority: _*)
+      .withColumn("mid", monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pid = shiftrightunsigned(col("mid"), 33).cast("int")
+    val localIdx = col("mid").bitwiseAND(lit((1L << 33) - 1))
+    val counts = ordered.groupBy(pid.as("pid"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val offsets: Map[Int, Long] = counts
+      .scanLeft((0, 0L)) { case ((_, acc), (p, c)) => (p, acc + c) }
+      .sliding(2).collect { case Array((_, off), (p, _)) => p -> off }
+      .toMap
+    val withSeq =
+      if (offsets.isEmpty) ordered.withColumn("seqInRound", lit(1)).drop("mid")
+      else ordered.withColumn("seqInRound",
+        (element_at(typedLit(offsets), pid) + localIdx + 1).cast("int"))
+        .drop("mid")
+    (withSeq, () => { ordered.unpersist(blocking = false); () })
   }
 
   private val frontierCols =

@@ -2,7 +2,7 @@ package graft.crawl
 
 import java.io.ByteArrayOutputStream
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
@@ -18,9 +18,11 @@ import org.apache.spark.util.sketch.BloomFilter
   * Sharding: `shard = pmod(xxhash64(url), nShards)`. Per-shard filters keep
   * each filter's size bounded at 10^10-URL scale (a single 10^10-entry 1%
   * filter would be ~12 GB; 4096 shards of ~2.4M entries are ~3 MB each, one
-  * per state-table row, loadable shard-locally after a repartition on the
-  * same hash — map-side membership with no driver bottleneck). Locally we
-  * broadcast the whole shard map; the probe is shard-aware either way.
+  * per state-table row). The probe cogroups candidates with the state table
+  * on the shard hash, so each task touches only its shard's filter bytes —
+  * fully distributed, no driver collect, no broadcast. The state table is
+  * delta-appended (one small row set per round) and merged per shard inside
+  * the probe; Glacier compaction folds deltas back to one row per shard.
   *
   * The reference's analog is the pooch download cache / cumulative dedup
   * (download_files.py:142-187, toolbox.py:192-209) — an O(n²) in-memory
@@ -96,49 +98,40 @@ object SeenSet {
     * (Bloom miss) and rows needing exact confirmation, then anti-join only
     * the latter against the exact seen table. Returns the exactly-new rows.
     *
-    * At cluster scale the broadcast map becomes a shard-partitioned state
-    * read (repartition candidates by the same shard hash, open one filter
-    * per partition); the split/anti-join shape is identical.
+    * Shard-partitioned probe: candidates are cogrouped with the bloom state
+    * table on the shard hash — each task deserializes only its own shard's
+    * filter(s), merged locally when the state is delta-appended (one row per
+    * shard per committed round). NOTHING is collected to the driver or
+    * broadcast: at the 10^10-URL design point (4096 shards × ~3 MB) the
+    * state stays distributed; a driver collect+broadcast would move ~12 GB
+    * through the driver every round.
     */
-  def filterNew(candidates: DataFrame, bloomShards: Map[Int, Array[Byte]],
+  def filterNew(candidates: DataFrame, bloom: DataFrame,
                 seenExact: DataFrame, nShards: Int): DataFrame = {
     val spark = candidates.sparkSession
-    val bcast = spark.sparkContext.broadcast(bloomShards)
-    val bid = bcast.id
-    val mightBeSeen = udf { (url: String, shard: Int) =>
-      BloomShardCache.get(bid, shard, bcast.value.get(shard)) match {
-        case Some(f) => f.mightContainString(url)
-        case None    => false
+    import spark.implicits._
+    val tagged = candidates.withColumn("__shard", shardCol(col("url"), nShards))
+    val outSchema = tagged.schema
+      .add("__maybe", org.apache.spark.sql.types.BooleanType)
+    implicit val rowEnc: Encoder[Row] = Encoders.row(outSchema)
+    val shardIdx = tagged.schema.fieldIndex("__shard")
+    val urlIdx = tagged.schema.fieldIndex("url")
+    val candByShard = tagged.groupByKey(_.getInt(shardIdx))
+    val bloomByShard = bloom.select(col("shard").cast("int"), col("bloom"))
+      .as[(Int, Array[Byte])].groupByKey(_._1)
+    val flagged = candByShard.cogroup(bloomByShard) { (_, cands, blooms) =>
+      val filter = blooms.map(b => BloomFilter.readFrom(b._2))
+        .reduceOption { (a, b) => a.mergeInPlace(b); a }
+      filter match {
+        case None    => cands.map(r => Row.fromSeq(r.toSeq :+ false))
+        case Some(f) => cands.map(r =>
+          Row.fromSeq(r.toSeq :+ f.mightContainString(r.getString(urlIdx))))
       }
     }
-    val tagged = candidates
-      .withColumn("__shard", shardCol(col("url"), nShards))
-      .withColumn("__maybe", mightBeSeen(col("url"), col("__shard")))
-    val definitelyNew = tagged.filter(!col("__maybe"))
-    val confirmed = tagged.filter(col("__maybe"))
+    val definitelyNew = flagged.filter(!col("__maybe"))
+    val confirmed = flagged.filter(col("__maybe"))
       .join(seenExact.select(col("url").as("__seen_url")),
         col("url") === col("__seen_url"), "left_anti")
     definitelyNew.unionByName(confirmed).drop("__shard", "__maybe")
-  }
-}
-
-/** Executor-side memo of deserialized Bloom shards, keyed by (broadcast id,
-  * shard) so each task deserializes a shard's bytes at most once per JVM
-  * rather than once per row. Entries for stale broadcasts are dropped when
-  * the map grows past a bound (state is tiny: one filter per touched shard).
-  */
-object BloomShardCache {
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Long, Int), BloomFilter]()
-
-  def get(bid: Long, shard: Int,
-          bytes: => Option[Array[Byte]]): Option[BloomFilter] = {
-    val k = (bid, shard)
-    val hit = cache.get(k)
-    if (hit != null) Some(hit)
-    else bytes.map { b =>
-      if (cache.size > 65536) cache.clear()
-      cache.computeIfAbsent(k, _ => BloomFilter.readFrom(b))
-    }
   }
 }

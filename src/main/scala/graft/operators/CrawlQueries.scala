@@ -50,9 +50,16 @@ object CrawlQueries {
         .select(col("doc_id"), col("sp.kind"), col("sp.text"),
           col("sp.media_ref"), col("sp.offset").as("soff"))
         .orderBy("doc_id", "soff")),
-    // validated dataset records in discovery order
+    // validated dataset records in discovery order. Array columns are
+    // projected to `;`-joined strings: the driver's rows-only compare
+    // sorts with pandas, which cannot factorize ndarray cells.
     QueryEntry("q_crawl_datasets", (s, _) =>
       glacier(s).read(s, "datasets").get
-        .orderBy("round", "seqInRound", "ordinal")),
+        .orderBy("round", "seqInRound", "ordinal")
+        .withColumn("author_names", concat_ws(";", col("author_names")))
+        .withColumn("keywords", concat_ws(";", col("keywords")))
+        .withColumn("description_minhash",
+          concat_ws(";", transform(col("description_minhash"),
+            x => x.cast("string"))))),
   )
 }

@@ -43,8 +43,9 @@ final class Glacier(val root: String) {
   val Append: Glacier.Append.type = Glacier.Append
   val Replace: Glacier.Replace.type = Glacier.Replace
   def TableWrite(table: String, df: DataFrame, mode: Mode,
-                 rows: Option[() => Long] = None): Glacier.TableWrite =
-    Glacier.TableWrite(table, df, mode, rows)
+                 rows: Option[() => Long] = None,
+                 stage: Int = 0): Glacier.TableWrite =
+    Glacier.TableWrite(table, df, mode, rows, stage)
 
   private implicit val fmts: Formats = DefaultFormats
 
@@ -63,13 +64,21 @@ final class Glacier(val root: String) {
     JsonMethods.parse(json).extract[Manifest]
   }
 
+  /** Missing-tolerant manifest lookup (expired or never-written snapshot
+    * ids → None), keeping read()/rowCount()'s documented contract. */
+  def manifestOpt(id: Long): Option[Manifest] =
+    if (Files.exists(metaDir.resolve(s"snap-$id.json"))) Some(manifest(id))
+    else None
+
   def currentManifest: Option[Manifest] = currentSnapshotId.map(manifest)
 
   def history: Seq[Manifest] = {
     currentManifest match {
       case None => Nil
       case Some(m) =>
-        Iterator.iterate(Option(m))(_.flatMap(_.parentId).map(manifest))
+        // stops at the oldest RETAINED ancestor (expiry may have deleted
+        // manifests beyond it)
+        Iterator.iterate(Option(m))(_.flatMap(_.parentId).flatMap(manifestOpt))
           .takeWhile(_.isDefined).flatten.toSeq.reverse
     }
   }
@@ -81,14 +90,14 @@ final class Glacier(val root: String) {
   def read(spark: SparkSession, table: String,
            snapshotId: Option[Long] = None): Option[DataFrame] = {
     val id = snapshotId.orElse(currentSnapshotId)
-    id.map(manifest).flatMap(_.tables.get(table)).flatMap { st =>
+    id.flatMap(manifestOpt).flatMap(_.tables.get(table)).flatMap { st =>
       if (st.files.isEmpty) None
       else Some(spark.read.parquet(st.files: _*))
     }
   }
 
   def rowCount(table: String, snapshotId: Option[Long] = None): Long =
-    snapshotId.orElse(currentSnapshotId).map(manifest)
+    snapshotId.orElse(currentSnapshotId).flatMap(manifestOpt)
       .flatMap(_.tables.get(table)).map(_.rows).getOrElse(0L)
 
   // ---- commit --------------------------------------------------------------
@@ -107,32 +116,39 @@ final class Glacier(val root: String) {
     // Independent tables write CONCURRENTLY: each is its own Spark job, and
     // a lone small job cannot fill a large cluster — concurrent submission
     // does (standard multi-job driver pattern; Spark block locks make
-    // shared-cache materialization race-safe). Order-sensitive effects
-    // (manifest, row-count thunks) happen after the barrier below.
+    // shared-cache materialization race-safe). Writes sharing an UNCACHED
+    // upstream chain must not race to build it — callers express that with
+    // `TableWrite.stage`: stages run in ascending order, concurrently
+    // within a stage. Order-sensitive effects (manifest, row-count thunks)
+    // happen after the final barrier.
     locally {
-      val par = sys.env.getOrElse("SPARK_GRAFT_COMMIT_PAR", "4").toInt
+      val par = sys.env.getOrElse("SPARK_GRAFT_COMMIT_PAR", "8").toInt
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.max(1, math.min(par, writes.size)))
       try {
         import scala.jdk.CollectionConverters._
-        val tasks: Seq[java.util.concurrent.Callable[Unit]] = writes.map { w =>
-          () => {
-            val t0 = System.nanoTime()
-            w.df.write.mode("overwrite").parquet(s"${dataDir(newId)}/${w.table}")
-            if (verbose) System.err.println(
-              f"[commit] snap-$newId ${w.table}%-10s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+        writes.groupBy(_.stage).toSeq.sortBy(_._1).foreach { case (_, ws) =>
+          val tasks: Seq[java.util.concurrent.Callable[Unit]] = ws.map { w =>
+            () => {
+              val t0 = System.nanoTime()
+              w.df.write.mode("overwrite").parquet(s"${dataDir(newId)}/${w.table}")
+              if (verbose) System.err.println(
+                f"[commit] snap-$newId ${w.table}%-10s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+            }
           }
+          pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
         }
-        pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
       } finally pool.shutdown()
     }
     val written: Map[String, TableState] = writes.map { w =>
       val dir = s"${dataDir(newId)}/${w.table}"
       val local = Paths.get(dir)
-      val parts = Files.list(local).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map(p => FileEntry(p.getFileName.toString, Files.size(p)))
-        .toList.sortBy(_.path)
+      val parts = scala.util.Using.resource(Files.list(local)) { stream =>
+        stream.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(p => FileEntry(p.getFileName.toString, Files.size(p)))
+          .toList.sortBy(_.path)
+      }
       // caller-known count (a thunk, so Observation-backed metrics fired
       // by this very write can supply it), else read-back count
       val rows = w.rows.map(_.apply()).getOrElse(spark.read.parquet(dir).count())
@@ -183,9 +199,12 @@ object Glacier {
   case object Replace extends Mode
   /** `rows`: caller-known row count of `df`; when provided the commit skips
     * the read-back count job (the crawl loop already knows every delta's
-    * cardinality from its metric aggregations).
+    * cardinality from its metric aggregations). `stage`: writes in a lower
+    * stage complete before a higher stage starts — the caller's way to
+    * declare "this write materializes a cache that one reads".
     */
   final case class TableWrite(table: String, df: DataFrame, mode: Mode,
-                              rows: Option[() => Long] = None)
+                              rows: Option[() => Long] = None,
+                              stage: Int = 0)
 
 }

@@ -35,7 +35,6 @@ class SeenSetSpec extends AnyFunSuite {
   test("buildShards + filterNew: exact split of new vs seen") {
     val seen = (0 until 300).map(i => s"u://$i").toDF("url")
     val shards = SeenSet.buildShards(seen, nShards, 1000, 0.01)
-      .as[(Int, Array[Byte])].collect().toMap
     val candidates = (200 until 600).map(i => s"u://$i").toDF("url")
     val fresh = SeenSet.filterNew(candidates, shards, seen, nShards)
       .select("url").as[String].collect().toSet
@@ -46,11 +45,23 @@ class SeenSetSpec extends AnyFunSuite {
     // 5000 urls into filters sized for 50 → fpp ≈ 1; exact confirm must save us
     val seen = (0 until 5000).map(i => s"u://$i").toDF("url")
     val shards = SeenSet.buildShards(seen, nShards, 50, 0.01)
-      .as[(Int, Array[Byte])].collect().toMap
     val candidates = (4000 until 9000).map(i => s"u://$i").toDF("url")
     val fresh = SeenSet.filterNew(candidates, shards, seen, nShards)
       .select("url").as[String].collect().toSet
     assert(fresh === (5000 until 9000).map(i => s"u://$i").toSet)
+  }
+
+  test("filterNew merges delta-appended shard rows (multiple rows per shard)") {
+    // bloom state as the crawl commits it: one delta row-set per round
+    val seenA = (0 until 200).map(i => s"u://$i").toDF("url")
+    val seenB = (200 until 400).map(i => s"u://$i").toDF("url")
+    val deltas = SeenSet.buildShards(seenA, nShards, 1000, 0.01)
+      .unionByName(SeenSet.buildShards(seenB, nShards, 1000, 0.01))
+    val seenAll = seenA.unionByName(seenB)
+    val candidates = (0 until 600).map(i => s"u://$i").toDF("url")
+    val fresh = SeenSet.filterNew(candidates, deltas, seenAll, nShards)
+      .select("url").as[String].collect().toSet
+    assert(fresh === (400 until 600).map(i => s"u://$i").toSet)
   }
 
   test("mergeShards accumulates membership across deltas") {
