@@ -32,10 +32,11 @@ object Bench {
     val crawlJson =
       try {
         val repo = crawl.RepoConfig(seed = 7L, universe = 60000,
-          fileTypes = Seq("gro", "mdp", "xtc", "top"))
+          fileTypes = Seq("gro", "mdp", "xtc", "top"), cursorPages = 5)
         val cfg = crawl.CrawlLoop.CrawlConfig(
           repo,
-          hostBudget = Map("zenodo" -> 16000, "figshare" -> 12000, "osf" -> 12000),
+          hostBudget = Map("zenodo" -> 16000, "figshare" -> 12000,
+            "osf" -> 12000, "nomad" -> 50),
           maxRounds = 5,
           glacierRoot = java.nio.file.Files
             .createTempDirectory("bench-crawl").toString,
@@ -45,7 +46,14 @@ object Bench {
         val secs = (System.nanoTime() - t0) / 1e9
         val urls = g.rowCount("crawl_log")
         s""","crawl_urls_per_sec":${urls / secs},"crawl_urls":$urls,"crawl_seconds":$secs"""
-      } catch { case _: Throwable => "" }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          // a broken crawl engine must be VISIBLE in the bench output, not
+          // silently absent
+          val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}"
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(300)
+          s""","crawl_error":"$msg""""
+      }
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$crawlJson}""")
     spark.stop()

@@ -151,19 +151,21 @@ object CrawlLoop {
         it.map { t =>
           val p = SyntheticRepo.fetch(repo, t.url)
           RoundFetch(t.url, t.host, t.depth, t.seqInRound, p.status,
-            p.doc, p.links)
+            p.attempts, p.doc, p.links)
         }
       }
       .observe(obsFetch,
         count(lit(1)).as("n"),
         count_if($"status" === 200).as("ok"),
+        sum($"attempts").cast("long").as("attempts"),
         sum(when($"status" === 200, size($"links")).otherwise(0))
           .cast("long").as("links"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- crawl-order log (the parity artifact) ----------------------------
     val log = fetched.select(lit(round).as("round"), $"seqInRound",
-      $"url", $"host", $"depth", $"status", size($"links").as("nLinks"))
+      $"url", $"host", $"depth", $"status", size($"links").as("nLinks"),
+      $"attempts")
 
     // ---- docs: interleaved span documents of fetched pages ----------------
     val docs = fetched.filter($"status" === 200)
@@ -294,6 +296,7 @@ object CrawlLoop {
       "round" -> round.toLong,
       "fetched" -> m(obsFetch, "n"),
       "ok" -> m(obsFetch, "ok"),
+      "attempts" -> m(obsFetch, "attempts"),
       "robots_excluded" -> (m(obsFetch, "links") - m(obsLinks, "allowed")),
       "dup_in_round" -> (m(obsLinks, "allowed") - m(obsFirst, "n")),
       "seen_hits" -> (m(obsFirst, "n") - m(obsNew, "n")),
@@ -390,7 +393,8 @@ object CrawlLoop {
       seqInRound: Int)
 
   final case class RoundFetch(url: String, host: String, depth: Int,
-      seqInRound: Int, status: Int, doc: Doc, links: Seq[DiscoveredLink])
+      seqInRound: Int, status: Int, attempts: Int, doc: Doc,
+      links: Seq[DiscoveredLink])
 
   /** One validated parse result; kind 0 = dataset row, 1 = file row. */
   final case class ParsedRow(seqInRound: Int, ordinal: Int, kind: Int,

@@ -16,7 +16,7 @@ object PageParser {
 
   /** Crawlable link schemes; everything else (thumb://, dl://, zip://) is a
     * terminal media reference, kept in the doc but never fetched. */
-  private val Crawlable = Set("zenodo", "figshare", "osf")
+  private val Crawlable = Set("zenodo", "figshare", "osf", "nomad")
 
   private def kindOf(url: String): String = {
     val path = url.dropWhile(_ != ':').drop(3)
@@ -26,7 +26,8 @@ object PageParser {
   /** Dataset-type score: discovery pages outrank detail pages outrank
     * zip subcrawls (the north rule's priority-queue score component). */
   def scoreOf(url: String): Double = kindOf(url) match {
-    case "search"                => 3.0
+    case "search" | "cursor"     => 3.0 // discovery pages (cursor chain is
+                                        // latency-critical: 1 page/round)
     case "article" | "node"      => 2.0
     case "preview" | "structure" => 1.0
     case _                       => 0.5

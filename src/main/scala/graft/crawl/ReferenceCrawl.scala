@@ -36,7 +36,8 @@ object CrawlSpec {
 }
 
 final case class LogEntry(round: Int, seqInRound: Int, url: String,
-                          host: String, depth: Int, status: Int, nLinks: Int)
+                          host: String, depth: Int, status: Int, nLinks: Int,
+                          attempts: Int)
 
 final case class CrawlResult(
     log: Vector[LogEntry],
@@ -81,13 +82,15 @@ object ReferenceCrawl {
 
       var robotsExcluded = 0L; var dupInRound = 0L; var seenHits = 0L
       var enqueued = 0L; var ok = 0L; var dsQuarantine = 0L; var fileQuarantine = 0L
+      var attempts = 0L
       val roundNew = mutable.HashSet.empty[String]
 
       selected.zipWithIndex.foreach { case (task, i) =>
         val seq = i + 1
         val page = SyntheticRepo.fetch(cfg, task.url)
+        attempts += page.attempts
         log += LogEntry(round, seq, task.url, task.host, task.depth,
-          page.status, page.links.size)
+          page.status, page.links.size, page.attempts)
         if (page.status == 200) {
           ok += 1
           docs(page.doc.doc_id) = page.doc.spans
@@ -123,7 +126,8 @@ object ReferenceCrawl {
       }
       metrics += Map(
         "round" -> round.toLong, "fetched" -> selected.size.toLong,
-        "ok" -> ok, "robots_excluded" -> robotsExcluded,
+        "ok" -> ok, "attempts" -> attempts,
+        "robots_excluded" -> robotsExcluded,
         "dup_in_round" -> dupInRound, "seen_hits" -> seenHits,
         "enqueued" -> enqueued, "frontier_pending" -> frontier.size.toLong,
         "datasets_quarantined" -> dsQuarantine,

@@ -38,9 +38,20 @@ final case class RepoConfig(
     pageSize: Int = 100,
     maxHitsPerQuery: Int = 10000,
     zipPreviewLimit: Int = 1000,
-    /** fraction (1/n) of URLs that 404 (retry give-up → null row,
-      * core/toolbox.py:106-117 semantics). */
+    /** fraction (1/n) of URLs that 404 (retried to maxAttempts, then
+      * give-up → null row, core/toolbox.py:106-117 semantics). */
     notFoundOneIn: Int = 97,
+    /** fraction (1/n) of URLs that answer 202 "accepted but not ready"
+      * on attempt 1 and succeed on attempt 2 (toolbox.py:88-95's
+      * retryable-202 envelope). */
+    retry202OneIn: Int = 53,
+    /** retry envelope bound (toolbox.py:33 `max_attempts`). */
+    maxAttempts: Int = 3,
+    /** length of the NOMAD-style cursor-paginated chain (0 = absent).
+      * Page k links ONLY to page k+1 — a strictly sequential dependent
+      * chain (nomad.py:44-158 `page_after_value`): the engine cannot
+      * parallelize it and must preserve order. */
+    cursorPages: Int = 0,
 )
 
 object SyntheticRepo {
@@ -108,8 +119,8 @@ object SyntheticRepo {
     * (page-expansion scan, SURVEY §2.1 S1). queryIdx/pageIdx mint the
     * deterministic discovery sequence (SURVEY §7.3).
     */
-  def seedTasks(cfg: RepoConfig): Seq[FetchTask] =
-    for {
+  def seedTasks(cfg: RepoConfig): Seq[FetchTask] = {
+    val searches = for {
       (host, hi) <- Hosts.zipWithIndex
       (ft, fi) <- cfg.fileTypes.zipWithIndex
       page <- 1 to pages(cfg, host, ft)
@@ -117,6 +128,21 @@ object SyntheticRepo {
       url = s"$host://search/$ft/$page", host = host, depth = 0,
       score = 3.0, round = 0,
       queryIdx = hi * cfg.fileTypes.size + fi, pageIdx = page, hitIdx = 0)
+    // The NOMAD-style cursor chain has exactly ONE seed: page 1. Every
+    // further page is discovered from its predecessor (nomad.py:103-130) —
+    // the opposite topology of the count-probe page expansion above.
+    val cursor = if (cfg.cursorPages <= 0) Seq.empty
+    else Seq(FetchTask(
+      url = cursorUrl(cfg, 1), host = "nomad", depth = 0, score = 3.0,
+      round = 0, queryIdx = Hosts.size * cfg.fileTypes.size, pageIdx = 1,
+      hitIdx = 0))
+    searches ++ cursor
+  }
+
+  /** Opaque-but-deterministic cursor token (the `page_after_value`):
+    * knowable only from page k-1's content. */
+  def cursorUrl(cfg: RepoConfig, k: Int): String =
+    f"nomad://cursor/$k-${h(cfg, "ctok", k)}%016x"
 
   // ---- page generation (pure) ----------------------------------------------
 
@@ -126,16 +152,40 @@ object SyntheticRepo {
   private val NodeRe = "^osf://node/(\\d+)$".r
   private val PreviewRe = "^zenodo://preview/(\\d+)/([^/]+)$".r
   private val StructRe = "^figshare://structure/(\\d+)/(\\d+)$".r
+  private val CursorRe = "^nomad://cursor/(\\d+)-([0-9a-f]{16})$".r
 
-  /** Fetch a URL. Pure; safe to call in `mapPartitions` on executors. */
+  /** Fetch a URL through the reference's retry envelope
+    * (toolbox.py:29-117): up to `maxAttempts` tries; a 202 "accepted but
+    * not ready" is retryable (succeeds here on attempt 2); a 404 is retried
+    * to the bound then given up as a null row. Pure; safe on executors.
+    * The returned `attempts` counts tries actually made.
+    */
   def fetch(cfg: RepoConfig, url: String): FetchedPage = {
+    var attempt = 1
+    var page = fetchAttempt(cfg, url, attempt)
+    while (page.status != 200 && attempt < cfg.maxAttempts) {
+      attempt += 1
+      page = fetchAttempt(cfg, url, attempt)
+    }
+    page.copy(attempts = attempt)
+  }
+
+  /** One raw attempt (no retry). */
+  def fetchAttempt(cfg: RepoConfig, url: String, attempt: Int): FetchedPage = {
     val host = url.takeWhile(_ != ':')
-    // deterministic 404s — but never for seed search pages (page 1)
+    // deterministic 404s — never for seed search pages (page 1) nor cursor
+    // pages (a dead cursor page would sever the whole dependent chain; the
+    // reference retries those indefinitely, nomad.py:133-136)
+    val isCursor = host == "nomad"
     val dead = pos(h(cfg, "404", url), cfg.notFoundOneIn) == 0 &&
-      !SeedPageRe.matches(url)
+      !SeedPageRe.matches(url) && !isCursor
     if (dead) {
-      val doc = Doc(url, Seq.empty)
-      return FetchedPage(url, host, 0, 404, doc, Seq.empty)
+      return FetchedPage(url, host, 0, 404, Doc(url, Seq.empty), Seq.empty)
+    }
+    // deterministic 202-on-attempt-1 (retryable; ready from attempt 2 on)
+    val slow = pos(h(cfg, "202", url), cfg.retry202OneIn) == 0
+    if (slow && attempt <= 1) {
+      return FetchedPage(url, host, 0, 202, Doc(url, Seq.empty), Seq.empty)
     }
     val spans: Seq[Span] = url match {
       case SearchRe(hst, ft, page) => searchSpans(cfg, hst, ft, page.toInt)
@@ -143,10 +193,33 @@ object SyntheticRepo {
       case NodeRe(n)               => nodeSpans(cfg, n.toInt)
       case PreviewRe(n, name)      => zipSpans(cfg, "zenodo", n.toInt, name)
       case StructRe(n, ord)        => zipSpans(cfg, "figshare", n.toInt, s"arch$ord.zip")
+      case CursorRe(k, tok)        => cursorSpans(cfg, k.toInt, tok)
       case _                       => Seq.empty
     }
     val doc = Doc(url, spans)
     FetchedPage(url, host, 0, 200, doc, PageParser.extractLinks(doc))
+  }
+
+  /** NOMAD-style cursor page: a batch of full records plus a single
+    * next-cursor link (pagination.next_page_after_value) — page k is only
+    * reachable from page k-1, so the chain is strictly sequential. A wrong
+    * token (unreachable by following the chain) yields an empty page.
+    */
+  private def cursorSpans(cfg: RepoConfig, k: Int, tok: String): Seq[Span] = {
+    if (cursorUrl(cfg, k) != s"nomad://cursor/$k-$tok" || k > cfg.cursorPages)
+      return Seq(Span("text", s"invalid cursor $tok", "", 0))
+    val perPage = math.max(1, cfg.pageSize / 4)
+    val header = Span("text",
+      s"cursor page $k of ${cfg.cursorPages} batch $perPage", "", 0)
+    val hits = (0 until perPage).flatMap { i =>
+      val n = pos(h(cfg, "chit", k, i), cfg.universe)
+      recordSpans(cfg, "nomad", n, detail = false, 100 * (i + 1))
+    }
+    val next =
+      if (k < cfg.cursorPages)
+        Seq(Span("media", "next cursor", cursorUrl(cfg, k + 1), 1000000))
+      else Seq.empty
+    (header +: hits) ++ next
   }
 
   /** Search page: header text + per-hit spans. Zenodo embeds full records

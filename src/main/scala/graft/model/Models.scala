@@ -44,6 +44,9 @@ final case class FetchedPage(
     status: Int,
     doc: Doc,
     links: Seq[DiscoveredLink],
+    /** tries made inside the retry envelope (1 = first try succeeded;
+      * maxAttempts with a non-200 status = gave up). */
+    attempts: Int = 1,
 )
 
 /** An outlink discovered while parsing a page, with its in-page ordinal

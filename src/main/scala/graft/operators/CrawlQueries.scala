@@ -18,8 +18,10 @@ import graft.crawl.CrawlLoop.CrawlConfig
 object CrawlQueries {
 
   private val repo = RepoConfig(seed = 42L, universe = 400,
-    fileTypes = Seq("gro", "mdp"), pageSize = 20, maxHitsPerQuery = 100)
-  private val budget = Map("zenodo" -> 40, "figshare" -> 25, "osf" -> 30)
+    fileTypes = Seq("gro", "mdp"), pageSize = 20, maxHitsPerQuery = 100,
+    cursorPages = 6)
+  private val budget = Map("zenodo" -> 40, "figshare" -> 25, "osf" -> 30,
+    "nomad" -> 5)
 
   /** One micro-crawl per session (sfDir-independent), memoized. */
   @volatile private var cached: Option[(SparkSession, graft.tables.Glacier)] = None

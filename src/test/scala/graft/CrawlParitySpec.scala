@@ -19,8 +19,10 @@ class CrawlParitySpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.get
 
   private val repo = RepoConfig(seed = 42L, universe = 400,
-    fileTypes = Seq("gro", "mdp"), pageSize = 20, maxHitsPerQuery = 100)
-  private val budget = Map("zenodo" -> 40, "figshare" -> 25, "osf" -> 30)
+    fileTypes = Seq("gro", "mdp"), pageSize = 20, maxHitsPerQuery = 100,
+    cursorPages = 6)
+  private val budget = Map("zenodo" -> 40, "figshare" -> 25, "osf" -> 30,
+    "nomad" -> 5)
   private val maxRounds = 12
 
   private def cfg(root: String) = CrawlConfig(repo, budget, maxRounds, root,
@@ -46,6 +48,15 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(oracle.docs.keys.exists(_.startsWith("figshare://article/")))
     assert(oracle.docs.keys.exists(_.startsWith("osf://node/")))
     assert(oracle.files.exists(_.containing_archive_file_name.isDefined))
+    // retry envelope: 202-on-attempt-1 URLs succeed on attempt 2; dead URLs
+    // are retried to the bound then given up (toolbox.py:29-117)
+    assert(oracle.log.exists(e => e.attempts === 2 && e.status === 200))
+    assert(oracle.log.filter(_.status === 404)
+      .forall(_.attempts === repo.maxAttempts))
+    // the cursor chain advanced one page per round
+    val cursorRounds = oracle.log
+      .filter(_.url.startsWith("nomad://cursor/")).map(_.round)
+    assert(cursorRounds === (1 to repo.cursorPages).toVector)
   }
 
   test("crawl-order log matches the oracle exactly") {
@@ -54,7 +65,8 @@ class CrawlParitySpec extends AnyFunSuite {
       .collect()
       .map(r => LogEntry(r.getAs[Int]("round"), r.getAs[Int]("seqInRound"),
         r.getAs[String]("url"), r.getAs[String]("host"),
-        r.getAs[Int]("depth"), r.getAs[Int]("status"), r.getAs[Int]("nLinks")))
+        r.getAs[Int]("depth"), r.getAs[Int]("status"), r.getAs[Int]("nLinks"),
+        r.getAs[Int]("attempts")))
       .toVector
     assert(engineLog.size === oracle.log.size)
     engineLog.zip(oracle.log).zipWithIndex.foreach { case ((e, o), i) =>
@@ -112,6 +124,37 @@ class CrawlParitySpec extends AnyFunSuite {
           assert(e.getOrElse(k, -1L) === v, s"metric $k @ round ${o("round")}")
       }
     }
+  }
+
+  test("a ≥20-deep NOMAD cursor chain is followed strictly sequentially") {
+    // dedicated tiny config: the chain dominates the crawl's length
+    val chainRepo = RepoConfig(seed = 9L, universe = 60,
+      fileTypes = Seq("gro"), pageSize = 30, maxHitsPerQuery = 60,
+      cursorPages = 22)
+    val chainBudget = Map("zenodo" -> 6, "figshare" -> 6, "osf" -> 6,
+      "nomad" -> 3)
+    val rounds = 26
+    val chainOracle = ReferenceCrawl.run(chainRepo, chainBudget, rounds)
+    // one cursor page per round, in order — the dependent chain cannot be
+    // parallelized or reordered
+    val cursorLog = chainOracle.log.filter(_.url.startsWith("nomad://cursor/"))
+    assert(cursorLog.map(_.round) === (1 to 22).toVector)
+    assert(cursorLog.map(_.url) ===
+      (1 to 22).map(k => SyntheticRepo.cursorUrl(chainRepo, k)).toVector)
+
+    val root = Files.createTempDirectory("crawl-chain").toString
+    CrawlLoop.run(spark,
+      CrawlConfig(chainRepo, chainBudget, rounds, root,
+        salts = 4, bloomShards = 8, bloomExpectedPerShard = 1 << 12))
+    val engineLog = new graft.tables.Glacier(root).read(spark, "crawl_log").get
+      .orderBy("round", "seqInRound")
+      .collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[Int]("seqInRound"),
+        r.getAs[String]("url"), r.getAs[Int]("status"),
+        r.getAs[Int]("attempts")))
+      .toVector
+    assert(engineLog === chainOracle.log.map(e =>
+      (e.round, e.seqInRound, e.url, e.status, e.attempts)))
   }
 
   test("resume from a mid-crawl snapshot reproduces the identical final state") {
