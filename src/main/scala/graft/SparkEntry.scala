@@ -18,6 +18,7 @@ object SparkEntry {
       operators.SpanOps.entries ++
       operators.MultimodalOps.entries ++
       operators.FileParsers.entries ++
+      operators.SimulationOps.entries ++
       operators.CrawlQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

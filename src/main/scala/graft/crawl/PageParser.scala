@@ -147,6 +147,8 @@ object PageParser {
         description_minhash = mh,
         description_simhash = sh,
         description_tokens = tok,
+        simulation_json = field(spans, "simulation"),
+        simulation = None, // populated by Validators.validateDataset
       )
     }
   }

@@ -312,7 +312,12 @@ object SyntheticRepo {
       at("text", s"description: ${descriptionHtml(cfg, host, n)}"),
       at("text", s"downloads: ${pos(h(cfg, "dl", host, n), 5000)} views: ${pos(h(cfg, "vw", host, n), 50000)}"),
       at("text", s"license: ${if (pos(h(cfg, "lic", n), 3) == 0) "CC-BY-4.0" else "MIT"}"),
-    )
+    ) ++ (if (host == "nomad")
+      // NOMAD entries carry nested simulation metadata inline
+      // (nomad.py:248-372); ~1/13 payloads have a non-positive timestep →
+      // the whole record quarantines (pydantic ValidationError semantics)
+      Seq(at("text", s"simulation: ${simulationJson(cfg, n)}"))
+    else Seq.empty)
     val fileSpans = files.zipWithIndex.flatMap { case (f, j) =>
       val link = f.url
       Seq(
@@ -325,6 +330,46 @@ object SyntheticRepo {
       else Seq.empty)
     }
     head ++ fileSpans
+  }
+
+  /** Deterministic nested simulation-metadata JSON for a nomad record —
+    * the deep-extraction surface (software list, molecules with external
+    * identifiers whose URLs the validator must compute, value-with-unit
+    * timesteps, mixed-unit temperatures).
+    */
+  def simulationJson(cfg: RepoConfig, n: Int): String = {
+    val sw = Seq("gromacs", "namd", "openmm")(pos(h(cfg, "sw", n), 3))
+    val swv = s"20${20 + pos(h(cfg, "swv", n), 6)}.${1 + pos(h(cfg, "swp", n), 3)}"
+    val atoms = 1000 + pos(h(cfg, "atoms", n), 3000000)
+    val nMol = 1 + pos(h(cfg, "nmol", n), 3)
+    val mols = (0 until nMol).map { i =>
+      val name = word(h(cfg, "mn", n, i))
+      val typ = Seq("PROTEIN", "LIPID", "ION", "SOLVENT")(pos(h(cfg, "mt", n, i), 4))
+      val count = 1 + pos(h(cfg, "mc", n, i), 512)
+      val ext = pos(h(cfg, "me", n, i), 3) match {
+        case 0 =>
+          val pdb = f"${pos(h(cfg, "pdb", n, i), 9999)}%04d"
+          s""","external_identifiers":[{"database_name":"PDB","identifier":"$pdb"}]"""
+        case 1 =>
+          val up = f"P${pos(h(cfg, "up", n, i), 99999)}%05d"
+          s""","external_identifiers":[{"database_name":"UNIPROT","identifier":"$up"}]"""
+        case _ => ""
+      }
+      s"""{"name":"$name","type":"$typ","number_of_molecules":$count$ext}"""
+    }.mkString("[", ",", "]")
+    val ff = Seq("charmm36", "amber99", "martini")(pos(h(cfg, "ff", n), 3))
+    val ts = if (pos(h(cfg, "badts", n), 13) == 0) "\"-1fs\""
+      else s""""${1 + pos(h(cfg, "ts", n), 4)}fs""""
+    val temp = pos(h(cfg, "tmpk", n), 3) match {
+      case 0 => s""""${290 + pos(h(cfg, "tk", n), 30)}K""""
+      case 1 => s""""${10 + pos(h(cfg, "tc", n), 30)}C""""
+      case _ => s""""${295 + pos(h(cfg, "tk2", n), 20)}""""
+    }
+    s"""{"software":[{"name":"$sw","version":"$swv"}],""" +
+      s""""total_number_of_atoms":$atoms,"molecules":$mols,""" +
+      s""""forcefields_models":[{"name":"$ff"}],""" +
+      s""""simulation_timesteps_in_fs":[$ts],""" +
+      s""""simulation_temperatures":[$temp]}"""
   }
 
   final case class FileEntry(name: String, url: String, size: Long, md5: String)

@@ -78,6 +78,56 @@ final case class DatasetRecord(
     description_minhash: Seq[Long],
     description_simhash: Long,
     description_tokens: Long,
+    /** raw nested-JSON simulation metadata as scraped (NOMAD-style pages
+      * carry it inline); kept for provenance. */
+    simulation_json: Option[String] = None,
+    /** validated [[SimulationMetadata]] — populated by
+      * `Validators.validateDataset` from `simulation_json`; a malformed or
+      * invalid payload quarantines the whole record (pydantic
+      * ValidationError semantics, models/utils.py:14-49). */
+    simulation: Option[SimulationMetadata] = None,
+)
+
+/** External database identifier (reference models/simulation.py:23-71).
+  * `url` is computed from (database_name, identifier) when absent —
+  * the model_validator `compute_url` semantics. */
+final case class ExternalIdentifier(
+    database_name: String,
+    identifier: String,
+    url: Option[String],
+)
+
+/** Molecule in a simulation (models/simulation.py:74-102). `molecule_type`
+  * maps the reference's `type` field (Scala keyword). */
+final case class Molecule(
+    name: String,
+    molecule_type: Option[String],
+    number_of_molecules: Option[Long],
+    number_of_atoms: Option[Long],
+    formula: Option[String],
+    external_identifiers: Seq[ExternalIdentifier],
+)
+
+/** Simulation software (models/simulation.py:123-137). */
+final case class Software(name: String, version: Option[String])
+
+/** Forcefield or model (models/simulation.py:105-120). */
+final case class ForceFieldModel(name: String, version: Option[String])
+
+/** Nested MD-simulation metadata (models/simulation.py:140-278): list
+  * fields validated by `Validators.parseSimulation` — timesteps must be
+  * strictly positive (unit suffixes allowed), temperatures normalized to
+  * Kelvin ("27C" → 300.15; bare numbers assumed Kelvin unless negative).
+  * Absent lists are empty (the reference's None; Spark-side a struct of
+  * empty arrays keeps the schema closed).
+  */
+final case class SimulationMetadata(
+    software: Seq[Software],
+    total_number_of_atoms: Option[Long],
+    molecules: Seq[Molecule],
+    forcefields_models: Seq[ForceFieldModel],
+    simulation_timesteps_in_fs: Seq[Double],
+    simulation_temperatures_in_kelvin: Seq[Double],
 )
 
 /** Validated file row (reference FileMetadata, models/file.py:27-97). */
@@ -129,6 +179,91 @@ object Validators {
     }
   }
 
+  // ---- nested simulation metadata (models/simulation.py) ------------------
+
+  private val NumRe = "([-+]?\\d*\\.?\\d+(?:[eE][-+]?\\d+)?)".r
+
+  /** Leading/embedded numeric part of a value-with-units string
+    * (simulation.py:201-214). */
+  def numericPart(s: String): Option[Double] =
+    NumRe.findFirstMatchIn(s).map(_.group(1).toDouble)
+
+  /** Temperature string → Kelvin (simulation.py:230-278): "300K"/"300" →
+    * 300.0; "27C"/"27°C" or any negative value → Celsius, +273.15. */
+  def temperatureToKelvin(s: String): Option[Double] = {
+    val clean = s.trim.toLowerCase
+    numericPart(clean).map { v =>
+      if (clean.contains("c") || v < 0) v + 273.15 else v
+    }
+  }
+
+  /** compute_url model validator (simulation.py:47-70). */
+  def externalUrl(databaseName: String, identifier: String): Option[String] =
+    databaseName match {
+      case "PDB"     => Some(s"https://www.rcsb.org/structure/$identifier")
+      case "UNIPROT" => Some(s"https://www.uniprot.org/uniprotkb/$identifier")
+      case _         => None
+    }
+
+  /** Parse + validate a nested simulation-metadata JSON payload (the NOMAD
+    * deep-extraction surface, nomad.py:248-372): Left = quarantine reason
+    * (non-positive timestep, negative counts, malformed JSON — pydantic
+    * ValidationError semantics).
+    */
+  def parseSimulation(json: String): Either[String, SimulationMetadata] =
+    try {
+      import org.json4s._
+      val j = org.json4s.jackson.JsonMethods.parse(json)
+      def strs(v: JValue, f: String): Option[String] =
+        v \ f match { case JString(s) => Some(s); case _ => None }
+      def longs(v: JValue, f: String): Option[Long] =
+        v \ f match {
+          case JInt(n) => Some(n.toLong); case JLong(n) => Some(n); case _ => None
+        }
+      def arr(v: JValue, f: String): List[JValue] =
+        v \ f match { case JArray(xs) => xs; case _ => Nil }
+
+      val software = arr(j, "software").map(x =>
+        Software(strs(x, "name").getOrElse(""), strs(x, "version")))
+      val ff = arr(j, "forcefields_models").map(x =>
+        ForceFieldModel(strs(x, "name").getOrElse(""), strs(x, "version")))
+      val atoms = longs(j, "total_number_of_atoms")
+      if (atoms.exists(_ < 0)) return Left("negative total_number_of_atoms")
+
+      val molecules = arr(j, "molecules").map { x =>
+        val count = longs(x, "number_of_molecules")
+        if (count.exists(_ < 0)) return Left("negative number_of_molecules")
+        val ext = arr(x, "external_identifiers").map { e =>
+          val db = strs(e, "database_name").getOrElse("")
+          val id = strs(e, "identifier").getOrElse("")
+          if (id.isEmpty) return Left("empty external identifier")
+          ExternalIdentifier(db, id,
+            strs(e, "url").orElse(externalUrl(db, id)))
+        }
+        Molecule(strs(x, "name").getOrElse(""), strs(x, "type"),
+          count, longs(x, "number_of_atoms"), strs(x, "formula"), ext)
+      }
+
+      val timesteps = arr(j, "simulation_timesteps_in_fs").map {
+        case JString(s) => numericPart(s).filter(_ > 0)
+          .getOrElse(return Left(s"invalid timestep: $s"))
+        case JDouble(d) if d > 0 => d
+        case JInt(n) if n > 0    => n.toDouble
+        case other => return Left(s"invalid timestep: $other")
+      }
+      val temps = arr(j, "simulation_temperatures").map {
+        case JString(s) => temperatureToKelvin(s)
+          .getOrElse(return Left(s"unparseable temperature: $s"))
+        case JDouble(d) => d
+        case JInt(n)    => n.toDouble
+        case other => return Left(s"unparseable temperature: $other")
+      }
+      Right(SimulationMetadata(software, atoms, molecules, ff,
+        timesteps, temps))
+    } catch {
+      case scala.util.control.NonFatal(_) => Left("malformed simulation json")
+    }
+
   /** Validate a raw dataset row: required fields per the reference's
     * `extra=forbid` + required-title contract. Left = quarantine reason.
     */
@@ -138,7 +273,14 @@ object Validators {
     else if (r.doi.exists(d => !validDoi(d))) Left(s"bad doi: ${r.doi.get}")
     else if (r.number_of_files.exists(_ <= 0)) Left("number_of_files <= 0")
     else if (r.download_number.exists(_ < 0)) Left("negative downloads")
-    else Right(r.copy(date_created = r.date_created.flatMap(normalizeDate)))
+    else {
+      val normalized = r.copy(date_created = r.date_created.flatMap(normalizeDate))
+      normalized.simulation_json match {
+        case None => Right(normalized)
+        case Some(js) =>
+          parseSimulation(js).map(sim => normalized.copy(simulation = Some(sim)))
+      }
+    }
   }
 
   def validateFile(r: FileRecord): Either[String, FileRecord] = {

@@ -57,6 +57,11 @@ class CrawlParitySpec extends AnyFunSuite {
     val cursorRounds = oracle.log
       .filter(_.url.startsWith("nomad://cursor/")).map(_.round)
     assert(cursorRounds === (1 to repo.cursorPages).toVector)
+    // nomad records carry validated nested simulation metadata; some
+    // payloads quarantine (non-positive timestep)
+    assert(oracle.datasets.exists(d => d.simulation.exists(s =>
+      s.simulation_temperatures_in_kelvin.nonEmpty &&
+        s.molecules.exists(_.external_identifiers.exists(_.url.isDefined)))))
   }
 
   test("crawl-order log matches the oracle exactly") {

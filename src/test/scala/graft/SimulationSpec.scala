@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model._
+
+/** Nested simulation-metadata validation (reference
+  * models/simulation.py:23-278): URL computation, value-with-unit positive
+  * checks, temperature normalization, quarantine on invalid payloads.
+  */
+class SimulationSpec extends AnyFunSuite {
+
+  test("temperatureToKelvin: K, C, bare, negative (simulation.py:230-278)") {
+    assert(Validators.temperatureToKelvin("300K") === Some(300.0))
+    assert(Validators.temperatureToKelvin("27C") === Some(300.15))
+    assert(Validators.temperatureToKelvin("27°C") === Some(300.15))
+    assert(Validators.temperatureToKelvin("310") === Some(310.0))
+    assert(Validators.temperatureToKelvin("-10") === Some(263.15))
+    assert(Validators.temperatureToKelvin("hot") === None)
+  }
+
+  test("externalUrl computed only for known databases (simulation.py:47-70)") {
+    assert(Validators.externalUrl("PDB", "1ABC") ===
+      Some("https://www.rcsb.org/structure/1ABC"))
+    assert(Validators.externalUrl("UNIPROT", "P12345") ===
+      Some("https://www.uniprot.org/uniprotkb/P12345"))
+    assert(Validators.externalUrl("OTHER", "x") === None)
+  }
+
+  test("parseSimulation: valid payload, URLs computed, units normalized") {
+    val json =
+      """{"software":[{"name":"gromacs","version":"2023.1"}],
+         "total_number_of_atoms":5000,
+         "molecules":[{"name":"popc","type":"LIPID","number_of_molecules":128,
+           "external_identifiers":[{"database_name":"PDB","identifier":"1ABC"}]}],
+         "forcefields_models":[{"name":"charmm36"}],
+         "simulation_timesteps_in_fs":["2fs",0.5],
+         "simulation_temperatures":["300K","27C",310]}"""
+    val sim = Validators.parseSimulation(json).toOption.get
+    assert(sim.software === Seq(Software("gromacs", Some("2023.1"))))
+    assert(sim.total_number_of_atoms === Some(5000L))
+    assert(sim.molecules.head.external_identifiers.head.url ===
+      Some("https://www.rcsb.org/structure/1ABC"))
+    assert(sim.simulation_timesteps_in_fs === Seq(2.0, 0.5))
+    assert(sim.simulation_temperatures_in_kelvin === Seq(300.0, 300.15, 310.0))
+  }
+
+  test("parseSimulation: invalid values quarantine the record") {
+    assert(Validators.parseSimulation(
+      """{"simulation_timesteps_in_fs":["-1fs"]}""").isLeft)
+    assert(Validators.parseSimulation(
+      """{"simulation_timesteps_in_fs":[0]}""").isLeft)
+    assert(Validators.parseSimulation(
+      """{"total_number_of_atoms":-5}""").isLeft)
+    assert(Validators.parseSimulation(
+      """{"molecules":[{"name":"x","number_of_molecules":-1}]}""").isLeft)
+    assert(Validators.parseSimulation("""not json at all""").isLeft)
+    assert(Validators.parseSimulation(
+      """{"simulation_temperatures":["hot"]}""").isLeft)
+  }
+
+  test("validateDataset populates simulation from the raw json or quarantines") {
+    val base = graft.crawl.PageParser
+      .parseDatasets("nomad",
+        Doc("nomad://cursor/1-x", graft.crawl.SyntheticRepo
+          .recordSpans(graft.crawl.RepoConfig(seed = 5L, universe = 50),
+            "nomad", 7, detail = false)))
+      .head
+    assert(base.simulation_json.isDefined)
+    Validators.validateDataset(base) match {
+      case Right(v)  => assert(v.simulation.isDefined)
+      case Left(msg) => assert(msg.contains("timestep")) // deterministic bad-ts
+    }
+  }
+}
