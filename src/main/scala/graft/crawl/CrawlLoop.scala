@@ -55,6 +55,9 @@ object CrawlLoop {
       bloomShards: Int = 64,
       bloomExpectedPerShard: Long = 1L << 16,
       bloomFpp: Double = 0.03,
+      /** post-crawl cleanup (exclusion + false-positive removal) — the
+        * reference runs it on every scrape's output (zenodo.py:625-639). */
+      cleanup: CleanupConfig = CleanupConfig(),
   )
 
   private val seqCols = Seq("round", "queryIdx", "pageIdx", "hitIdx")
@@ -115,7 +118,73 @@ object CrawlLoop {
       }
       round += 1
     }
+    // post-pass once the crawl is done (idempotent on resume: skipped when
+    // the current snapshot already is the post-pass)
+    if (!g.currentManifest.exists(_.note == "post-pass"))
+      postPass(spark, g, cfg)
     g
+  }
+
+  /** The reference's output cleanup as a distributed post-pass
+    * (zenodo.py:625-639, toolbox.py:265-466): exclusion filter over the
+    * files table (first-match-wins `when` cascade with per-pattern counted
+    * metrics), then false-positive dataset removal (datasets whose
+    * remaining files carry no MD file type), committed as
+    * `datasets_clean`/`files_clean` in one snapshot.
+    *
+    * Scale: one map pass over files (codegen'd cascade), one partial-agg
+    * shuffle on dataset id for the type-set rollup, two anti-joins against
+    * the (small relative to files) false-positive id set. No driver
+    * materialization beyond the per-pattern count rows.
+    */
+  def postPass(spark: SparkSession, g: Glacier, cfg: CrawlConfig): Unit = {
+    import spark.implicits._
+    val cu = cfg.cleanup
+    val files = g.read(spark, "files").getOrElse(return)
+    val datasets = g.read(spark, "datasets").getOrElse(return)
+    val lastRound = g.currentManifest.map(_.metrics.getOrElse("round", 0L))
+      .getOrElse(0L)
+
+    val basename = substring_index($"file_name", "/", -1)
+    val cascade = (cu.excludedPathPatterns.map(p =>
+        (contains($"file_name", lit(p)), lit(s"in path: $p"))) ++
+      cu.excludedFilePatterns.map(p =>
+        (startswith(basename, lit(p)), lit(s"starting with: $p"))))
+      .foldRight(lit(null).cast("string")) { case ((cond, label), rest) =>
+        when(cond, label).otherwise(rest)
+      }
+    val labeled = files.withColumn("__excl", cascade)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val exclusionCounts: Map[String, Long] = labeled
+      .filter($"__excl".isNotNull).groupBy($"__excl").count()
+      .as[(String, Long)].collect().toMap
+    val kept = labeled.filter($"__excl".isNull).drop("__excl")
+
+    val fpIds = kept.groupBy($"dataset_id_in_repository")
+      .agg(collect_set($"file_type").as("fts"))
+      .filter(size(array_intersect($"fts",
+        typedLit(cu.mdFileTypes))) === 0)
+      .select($"dataset_id_in_repository".as("__fp_id"))
+    val filesClean = kept.join(fpIds,
+      $"dataset_id_in_repository" === $"__fp_id", "left_anti")
+    val datasetsClean = datasets.join(fpIds,
+      $"dataset_id_in_repository" === $"__fp_id", "left_anti")
+
+    val obsDs = Observation("postpass_ds")
+    val obsFs = Observation("postpass_fs")
+    g.commit(spark, Seq(
+      g.TableWrite("datasets_clean",
+        datasetsClean.observe(obsDs, count(lit(1)).as("n")), g.Replace,
+        Some(() => obsDs.get("n").asInstanceOf[Number].longValue())),
+      g.TableWrite("files_clean",
+        filesClean.observe(obsFs, count(lit(1)).as("n")), g.Replace,
+        Some(() => obsFs.get("n").asInstanceOf[Number].longValue())),
+    ), metrics = bloomSizing(cfg) ++
+      exclusionCounts.map { case (k, v) => s"excl:$k" -> v } ++ Map(
+        "round" -> lastRound, // resume reads `round` off the latest snapshot
+        "files_excluded" -> exclusionCounts.values.sum,
+      ), note = "post-pass")
+    labeled.unpersist(blocking = false)
   }
 
   /** One BSP round: drain → fetch → parse → dedup → snapshot. */

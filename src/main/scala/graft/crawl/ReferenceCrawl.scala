@@ -46,6 +46,13 @@ final case class CrawlResult(
     datasets: Vector[DatasetRecord],
     files: Vector[FileRecord],
     metrics: Vector[Map[String, Long]],
+    /** post-pass outputs (exclusion filter → false-positive removal,
+      * zenodo.py:625-639): cleaned tables in original order, per-pattern
+      * exclusion counts, removed dataset ids. */
+    datasetsClean: Vector[DatasetRecord] = Vector.empty,
+    filesClean: Vector[FileRecord] = Vector.empty,
+    exclusionCounts: Map[String, Long] = Map.empty,
+    falsePositiveIds: Set[String] = Set.empty,
 )
 
 /** The sequential oracle: a straightforward single-threaded implementation
@@ -56,8 +63,42 @@ final case class CrawlResult(
   */
 object ReferenceCrawl {
 
+  /** Post-pass (toolbox.py:265-325 + 328-466, run on every scrape's
+    * output): exclusion filter with first-match-wins per-pattern counts
+    * (path containment before basename prefix), then false-positive
+    * removal — datasets whose remaining files carry no MD file type are
+    * dropped from BOTH tables. Datasets with zero file rows are kept (the
+    * reference only inspects datasets present in the files frame).
+    */
+  def clean(cu: CleanupConfig, datasets: Vector[DatasetRecord],
+            files: Vector[FileRecord])
+      : (Vector[DatasetRecord], Vector[FileRecord], Map[String, Long], Set[String]) = {
+    val counts = mutable.LinkedHashMap.empty[String, Long]
+    val kept = files.filter { f =>
+      cu.excludedPathPatterns.find(p => f.file_name.contains(p)) match {
+        case Some(p) =>
+          val k = s"in path: $p"; counts(k) = counts.getOrElse(k, 0L) + 1; false
+        case None =>
+          val base = f.file_name.substring(f.file_name.lastIndexOf('/') + 1)
+          cu.excludedFilePatterns.find(base.startsWith) match {
+            case Some(p) =>
+              val k = s"starting with: $p"
+              counts(k) = counts.getOrElse(k, 0L) + 1; false
+            case None => true
+          }
+      }
+    }
+    val md = cu.mdFileTypes.toSet
+    val fp = kept.groupBy(_.dataset_id_in_repository).collect {
+      case (id, fs) if !fs.exists(f => md.contains(f.file_type)) => id
+    }.toSet
+    (datasets.filterNot(d => fp(d.dataset_id_in_repository)),
+      kept.filterNot(f => fp(f.dataset_id_in_repository)), counts.toMap, fp)
+  }
+
   def run(cfg: RepoConfig, hostBudget: Map[String, Int],
-          maxRounds: Int): CrawlResult = {
+          maxRounds: Int,
+          cleanup: CleanupConfig = CleanupConfig()): CrawlResult = {
     val frontier = mutable.ArrayBuffer.empty[FetchTask]
     val seen = mutable.LinkedHashSet.empty[String]
     val log = Vector.newBuilder[LogEntry]
@@ -134,7 +175,9 @@ object ReferenceCrawl {
         "files_quarantined" -> fileQuarantine)
       round += 1
     }
-    CrawlResult(log.result(), seen.toSet, docs.toMap,
-      datasets.result(), files.result(), metrics.result())
+    val ds = datasets.result(); val fs = files.result()
+    val (dsClean, fsClean, exclCounts, fp) = clean(cleanup, ds, fs)
+    CrawlResult(log.result(), seen.toSet, docs.toMap, ds, fs,
+      metrics.result(), dsClean, fsClean, exclCounts, fp)
   }
 }

@@ -378,9 +378,12 @@ object SyntheticRepo {
     val exts = Seq("gro", "mdp", "xtc", "tpr", "pdf")
     (0 until nFiles(cfg, host, n)).map { j =>
       val isZip = pos(h(cfg, "zip", host, n, j), 5) == 0
+      // occasional dot-files — exclusion-filter bait (the reference's
+      // `excluded_files: ["."]` query config, toolbox.py:310-318)
+      val dot = if (pos(h(cfg, "dot", host, n, j), 17) == 0) "." else ""
       val name =
         if (isZip) s"archive_${pos(h(cfg, "an", n, j), 99)}.zip"
-        else s"${word(h(cfg, "fn", n, j))}_$j.${exts(pos(h(cfg, "fe", n, j), exts.size))}"
+        else s"$dot${word(h(cfg, "fn", n, j))}_$j.${exts(pos(h(cfg, "fe", n, j), exts.size))}"
       FileEntry(name, s"dl://$host/$n/$name",
         1000L + pos(h(cfg, "fs", host, n, j), 5000000),
         f"${h(cfg, "md5", host, n, j)}%016x")
@@ -421,7 +424,10 @@ object SyntheticRepo {
     (0 until nTop).foreach { i =>
       val isDir = pos(h(cfg, "zd", n, zipName, i), 3) == 0
       if (isDir && count < cfg.zipPreviewLimit) {
-        val dir = s"${word(h(cfg, "zw", n, i))}_$i"
+        // occasional macOS junk dirs — path-exclusion bait
+        // (toolbox.py:296-308 `excluded_paths: ["__MACOSX"]`)
+        val dir = if (pos(h(cfg, "mac", n, zipName, i), 7) == 0) "__MACOSX"
+          else s"${word(h(cfg, "zw", n, i))}_$i"
         val nIn = 1 + pos(h(cfg, "zn", n, zipName, i), 5)
         (0 until nIn).foreach { j =>
           if (count < cfg.zipPreviewLimit) {

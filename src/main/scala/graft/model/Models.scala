@@ -143,6 +143,23 @@ final case class FileRecord(
     file_type: String,
 )
 
+/** Post-crawl cleanup parameters — the reference's query-file exclusion
+  * patterns + MD file-type list (core/toolbox.py:265-325, 328-466; run on
+  * every scrape's output, zenodo.py:625-639).
+  */
+final case class CleanupConfig(
+    /** substring patterns excluding a file by its full path (checked
+      * first, in order; first match wins). */
+    excludedPathPatterns: Seq[String] = Seq("__MACOSX", ".git"),
+    /** prefix patterns excluding a file by its basename (checked after
+      * path patterns, in order). */
+    excludedFilePatterns: Seq[String] = Seq("."),
+    /** file types that count as molecular-dynamics data; a dataset whose
+      * (remaining) files have none of these is a false positive. `zip` is
+      * deliberately absent (toolbox.py:452-454). */
+    mdFileTypes: Seq[String] = Seq("gro", "mdp", "xtc", "top", "tpr"),
+)
+
 object Validators {
   private val DoiRe = "^10\\.\\d{4,9}/[\\w\\-./]+$".r
   private val DateInRe =

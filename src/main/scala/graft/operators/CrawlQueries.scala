@@ -62,6 +62,12 @@ object CrawlQueries {
         .withColumn("keywords", concat_ws(";", col("keywords")))
         .withColumn("description_minhash",
           concat_ws(";", transform(col("description_minhash"),
-            x => x.cast("string"))))),
+            x => x.cast("string"))))
+        .withColumn("simulation_json", coalesce(col("simulation_json"), lit("")))
+        .withColumn("simulation", coalesce(to_json(col("simulation")), lit("")))),
+    // post-pass output: files after exclusion + false-positive removal
+    QueryEntry("q_crawl_files_clean", (s, _) =>
+      glacier(s).read(s, "files_clean").get
+        .orderBy("round", "seqInRound", "ordinal")),
   )
 }

@@ -131,6 +131,33 @@ class CrawlParitySpec extends AnyFunSuite {
     }
   }
 
+  test("post-pass: exclusion filter + false-positive removal match the oracle") {
+    import spark.implicits._
+    // oracle side is non-trivial: patterns hit, false positives found
+    assert(oracle.exclusionCounts.nonEmpty)
+    assert(oracle.falsePositiveIds.nonEmpty)
+    assert(oracle.datasetsClean.size < oracle.datasets.size)
+    assert(oracle.filesClean.size < oracle.files.size)
+
+    val eng = g.read(spark, "datasets_clean").get
+      .orderBy("round", "seqInRound", "ordinal")
+      .drop("round", "seqInRound", "ordinal")
+      .as[DatasetRecord].collect().toVector
+    assert(eng === oracle.datasetsClean)
+
+    val engF = g.read(spark, "files_clean").get
+      .orderBy("round", "seqInRound", "ordinal")
+      .drop("round", "seqInRound", "ordinal")
+      .as[FileRecord].collect().toVector
+    assert(engF === oracle.filesClean)
+
+    val meta = g.history.find(_.note == "post-pass").get.metrics
+    oracle.exclusionCounts.foreach { case (k, v) =>
+      assert(meta.getOrElse(s"excl:$k", -1L) === v, s"exclusion count $k")
+    }
+    assert(meta("files_excluded") === oracle.exclusionCounts.values.sum)
+  }
+
   test("a ≥20-deep NOMAD cursor chain is followed strictly sequentially") {
     // dedicated tiny config: the chain dominates the crawl's length
     val chainRepo = RepoConfig(seed = 9L, universe = 60,
