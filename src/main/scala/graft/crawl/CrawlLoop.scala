@@ -58,6 +58,10 @@ object CrawlLoop {
       /** post-crawl cleanup (exclusion + false-positive removal) — the
         * reference runs it on every scrape's output (zenodo.py:625-639). */
       cleanup: CleanupConfig = CleanupConfig(),
+      /** fold the delta-appended seen/bloom state every N rounds
+        * (0 = never): bounds manifest file lists + probe-side delta merges
+        * on long crawls. */
+      compactEvery: Int = 0,
   )
 
   private val seqCols = Seq("round", "queryIdx", "pageIdx", "hitIdx")
@@ -77,7 +81,9 @@ object CrawlLoop {
     val g = new Glacier(cfg.glacierRoot)
 
     // ---- bootstrap or resume ----------------------------------------------
-    var round: Int = g.currentManifest
+    // resume off the newest snapshot that recorded a round (maintenance
+    // commits — compaction, expiry — carry no crawl metrics)
+    var round: Int = g.history.reverse.find(_.metrics.contains("round"))
       .map { m =>
         // Bloom deltas are merged per shard at probe time, which requires
         // every delta built with identical sizing — fail fast on a resume
@@ -116,6 +122,12 @@ object CrawlLoop {
           f"enqueued=${m("enqueued")}%6d pending=$pending%7d " +
           f"${(System.nanoTime() - t0) / 1e9}%6.1fs")
       }
+      if (cfg.compactEvery > 0 && round % cfg.compactEvery == 0) {
+        g.compact(spark, "seen", parts = spark.sparkContext.defaultParallelism)
+        g.compact(spark, "bloom", parts = math.max(1,
+          spark.sparkContext.defaultParallelism / 4),
+          transformFn = SeenSet.foldShards)
+      }
       round += 1
     }
     // post-pass once the crawl is done (idempotent on resume: skipped when
@@ -142,8 +154,8 @@ object CrawlLoop {
     val cu = cfg.cleanup
     val files = g.read(spark, "files").getOrElse(return)
     val datasets = g.read(spark, "datasets").getOrElse(return)
-    val lastRound = g.currentManifest.map(_.metrics.getOrElse("round", 0L))
-      .getOrElse(0L)
+    val lastRound = g.history.reverse.find(_.metrics.contains("round"))
+      .map(_.metrics("round")).getOrElse(0L)
 
     val basename = substring_index($"file_name", "/", -1)
     val cascade = (cu.excludedPathPatterns.map(p =>

@@ -29,7 +29,10 @@ object Politeness {
   )
 
   /** Tokens each host may spend in one round of `roundMinutes` simulated
-    * minutes, respecting the hourly cap when the round is long.
+    * minutes. The hourly cap is prorated into EVERY round (the sustained
+    * rate: Zenodo gets 5000/60 ≈ 83/min, not the 100/min burst) — the
+    * conservative reading of the reference's envelope, pinned by
+    * PolitenessSpec.
     */
   def budgets(policies: Map[String, HostPolicy],
               roundMinutes: Double): Map[String, Int] =

@@ -79,11 +79,14 @@ object SeenSet {
       .toDF("shard", "bloom")
   }
 
-  /** Merge an existing shard table with a delta batch's shards. */
-  def mergeShards(old: DataFrame, delta: DataFrame): DataFrame = {
-    val spark = old.sparkSession
+  /** Fold a (shard, bloom) state with multiple rows per shard (delta
+    * appends) down to one merged row per shard — the compaction transform
+    * (`Glacier.compact(spark, "bloom", transformFn = SeenSet.foldShards)`).
+    */
+  def foldShards(state: DataFrame): DataFrame = {
+    val spark = state.sparkSession
     import spark.implicits._
-    old.select("shard", "bloom").unionByName(delta.select("shard", "bloom"))
+    state.select("shard", "bloom")
       .as[(Int, Array[Byte])]
       .groupByKey(_._1)
       .mapGroups { (shard, it) =>
@@ -93,6 +96,11 @@ object SeenSet {
       }
       .toDF("shard", "bloom")
   }
+
+  /** Merge an existing shard table with a delta batch's shards. */
+  def mergeShards(old: DataFrame, delta: DataFrame): DataFrame =
+    foldShards(old.select("shard", "bloom")
+      .unionByName(delta.select("shard", "bloom")))
 
   /** Split `candidates` (must have a `url` column) into definitely-new rows
     * (Bloom miss) and rows needing exact confirmation, then anti-join only

@@ -222,5 +222,65 @@ object DedupOps {
             ORDER BY doc_a, doc_b"""
       },
     ),
+    // ---- exact Jaccard over MinHash-LSH candidates (the scale path) -------
+    // The blocked self-join above is quadratic within its block; at corpus
+    // scale the right shape is: LSH candidate pairs (ONE band shuffle) →
+    // join the pair list back to the shingle sets → exact Jaccard on only
+    // those pairs. Pair count is near-linear in the duplicate count, so
+    // the joins are tiny relative to the corpus.
+    QueryEntry(
+      "q_jaccard_lsh",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = minhashCandidatePairs(docs, "text", "doc_id")
+        val d = docs
+          .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+        pairs
+          .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+          .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            (inter.cast("double") /
+              (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double"))
+              .as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val sh = sqlShingles("text")
+        val sigCols = (0 until NumHashes)
+          .map(i => s"${sqlMinhashSig(sh, i)} AS sig_$i").mkString(", ")
+        val bandCols = (0 until NumHashes / BandRows).map { b =>
+          val parts = (0 until BandRows).map(r => s"sig_${b * BandRows + r}")
+          s"md5(${parts.mkString(" || ")}) AS band_$b"
+        }.mkString(", ")
+        val bandUnion = (0 until NumHashes / BandRows)
+          .map(b => s"SELECT doc_id AS doc, $b AS band_idx, band_$b AS band_hash FROM sigs")
+          .mkString(" UNION ALL ")
+        s"""WITH raw AS (
+              SELECT doc_id, $sigCols FROM documents
+              WHERE len(string_split(text,' ')) >= $ShingleSize),
+            sigs AS (SELECT doc_id, $bandCols FROM raw),
+            bands AS ($bandUnion),
+            cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+               AND a.doc < b.doc),
+            d AS (SELECT doc_id, list_distinct($sh) AS sh FROM documents
+                  WHERE len(string_split(text,' ')) >= $ShingleSize)
+            SELECT c.doc_a, c.doc_b,
+              CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                AS jaccard
+            FROM cand c
+            JOIN d a ON a.doc_id = c.doc_a
+            JOIN d b ON b.doc_id = c.doc_b
+            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              >= 0.5
+            ORDER BY doc_a, doc_b"""
+      },
+    ),
   )
 }

@@ -48,6 +48,7 @@ final class Glacier(val root: String) {
     Glacier.TableWrite(table, df, mode, rows, stage)
 
   private implicit val fmts: Formats = DefaultFormats
+  private val SnapJsonRe = "^snap-(\\d+)\\.json$".r
 
   private def metaDir: Path = Paths.get(root, "meta")
   private def dataDir(snap: Long): String = s"$root/data/snap-$snap"
@@ -178,6 +179,65 @@ final class Glacier(val root: String) {
                StandardCopyOption.ATOMIC_MOVE,
                StandardCopyOption.REPLACE_EXISTING)
     newId
+  }
+
+  // ---- maintenance ---------------------------------------------------------
+
+  /** Rewrite a table's current contents into ONE fresh directory with a
+    * bounded part-file count, committed as a Replace snapshot (rows
+    * unchanged up to `transformFn` — e.g. folding bloom delta rows per
+    * shard). An append-only table accretes one directory per commit and its
+    * manifests re-list every historical dir; a long crawl (thousands of
+    * rounds) pays that listing on every read. Compaction folds the list
+    * back to one entry; older snapshots still time-travel to the
+    * pre-compaction dirs until expired.
+    */
+  def compact(spark: SparkSession, table: String, parts: Int = 8,
+              transformFn: DataFrame => DataFrame = identity): Option[Long] =
+    read(spark, table).map { df =>
+      commit(spark,
+        Seq(TableWrite(table, transformFn(df).coalesce(parts), Replace)),
+        note = s"compact $table")
+    }
+
+  /** Delete all snapshots except the most recent `keepLast`: expired
+    * manifest files are removed, then every `data/snap-*` directory not
+    * referenced by a retained manifest is deleted. Time travel to retained
+    * snapshots is untouched (their manifests may reference old data dirs —
+    * those are kept). Returns the expired snapshot ids.
+    */
+  def expireSnapshots(keepLast: Int): Seq[Long] = synchronized {
+    require(keepLast >= 1, "must retain at least the current snapshot")
+    val all = scala.util.Using.resource(Files.list(metaDir)) { s =>
+      s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case SnapJsonRe(id) => id.toLong }.toList.sorted
+    }
+    val retained = history.map(_.snapshotId).takeRight(keepLast).toSet
+    val expired = all.filterNot(retained)
+    val referencedDirs: Set[String] = retained.flatMap(id =>
+      manifestOpt(id).toSeq.flatMap(_.tables.values.flatMap(_.files)))
+    expired.foreach(id => Files.deleteIfExists(metaDir.resolve(s"snap-$id.json")))
+    val dataRoot = Paths.get(root, "data")
+    if (Files.isDirectory(dataRoot)) {
+      val dirs = scala.util.Using.resource(Files.list(dataRoot))(
+        _.iterator().asScala.toList)
+      dirs.foreach { d =>
+        val snapDirs = scala.util.Using.resource(Files.list(d))(
+          _.iterator().asScala.toList)
+        snapDirs.filterNot(t => referencedDirs.contains(t.toString))
+          .foreach(deleteRecursively)
+        if (scala.util.Using.resource(Files.list(d))(!_.iterator().hasNext))
+          Files.deleteIfExists(d)
+      }
+    }
+    expired
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      scala.util.Using.resource(Files.list(p))(
+        _.iterator().asScala.toList).foreach(deleteRecursively)
+    Files.deleteIfExists(p)
   }
 }
 

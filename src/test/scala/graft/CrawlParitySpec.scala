@@ -26,7 +26,8 @@ class CrawlParitySpec extends AnyFunSuite {
   private val maxRounds = 12
 
   private def cfg(root: String) = CrawlConfig(repo, budget, maxRounds, root,
-    salts = 4, bloomShards = 8, bloomExpectedPerShard = 1 << 12)
+    salts = 4, bloomShards = 8, bloomExpectedPerShard = 1 << 12,
+    compactEvery = 5) // exercises in-loop state compaction + resume across it
 
   private lazy val oracle = ReferenceCrawl.run(repo, budget, maxRounds)
 
