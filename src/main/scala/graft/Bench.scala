@@ -32,11 +32,12 @@ object Bench {
     val crawlJson =
       try {
         val repo = crawl.RepoConfig(seed = 7L, universe = 60000,
-          fileTypes = Seq("gro", "mdp", "xtc", "top"), cursorPages = 5)
+          fileTypes = Seq("gro", "mdp", "xtc", "top"), cursorPages = 5,
+          gpcrmdCount = 500)
         val cfg = crawl.CrawlLoop.CrawlConfig(
           repo,
           hostBudget = Map("zenodo" -> 16000, "figshare" -> 12000,
-            "osf" -> 12000, "nomad" -> 50),
+            "osf" -> 12000, "nomad" -> 50, "gpcrmd" -> 2000),
           maxRounds = 5,
           glacierRoot = java.nio.file.Files
             .createTempDirectory("bench-crawl").toString,

@@ -177,10 +177,23 @@ object CrawlLoop {
       .filter(size(array_intersect($"fts",
         typedLit(cu.mdFileTypes))) === 0)
       .select($"dataset_id_in_repository".as("__fp_id"))
-    val filesClean = kept.join(fpIds,
+    val filesNoFp = kept.join(fpIds,
       $"dataset_id_in_repository" === $"__fp_id", "left_anti")
     val datasetsClean = datasets.join(fpIds,
       $"dataset_id_in_repository" === $"__fp_id", "left_anti")
+    // merge HEAD-probe sizes into files whose size the page didn't carry
+    // (gpcrmd/atlas shape) — urls are unique (seen-set), so the join is 1:1
+    val filesClean = g.read(spark, "head_sizes") match {
+      case None => filesNoFp
+      case Some(hs) =>
+        filesNoFp.join(
+          hs.select($"file_url".as("__hurl"),
+            $"file_size_in_bytes".as("__hsize")),
+          $"file_url_in_repository" === $"__hurl", "left")
+          .withColumn("file_size_in_bytes",
+            coalesce($"file_size_in_bytes", $"__hsize"))
+          .drop("__hurl", "__hsize")
+    }
 
     val obsDs = Observation("postpass_ds")
     val obsFs = Observation("postpass_fs")
@@ -259,23 +272,30 @@ object CrawlLoop {
     val parsed = fetched.filter($"status" === 200).flatMap { f =>
       val ds = PageParser.parseDatasets(f.host, f.doc)
         .map(Validators.validateDataset).zipWithIndex.map { case (e, i) =>
-          ParsedRow(f.seqInRound, i, 0, e.toOption, None, e.isLeft)
+          ParsedRow(f.seqInRound, i, 0, e.toOption, None, None, e.isLeft)
         }
       val fs = PageParser.parseFiles(f.host, f.doc)
         .map(Validators.validateFile).zipWithIndex.map { case (e, i) =>
-          ParsedRow(f.seqInRound, i, 1, None, e.toOption, e.isLeft)
+          ParsedRow(f.seqInRound, i, 1, None, e.toOption, None, e.isLeft)
         }
-      ds ++ fs
+      val hs = PageParser.parseHeadSizes(f.doc).zipWithIndex.map {
+        case (h, i) => ParsedRow(f.seqInRound, i, 2, None, None, Some(h),
+          bad = false)
+      }
+      ds ++ fs ++ hs
     }.observe(obsParsed,
         count_if($"kind" === 0 && !$"bad").as("dsV"),
         count_if($"kind" === 0 && $"bad").as("dsQ"),
         count_if($"kind" === 1 && !$"bad").as("fV"),
-        count_if($"kind" === 1 && $"bad").as("fQ"))
+        count_if($"kind" === 1 && $"bad").as("fQ"),
+        count_if($"kind" === 2).as("hV"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val datasets = parsed.filter($"kind" === 0 && !$"bad")
       .select(lit(round).as("round"), $"seqInRound", $"ordinal", $"ds.*")
     val files = parsed.filter($"kind" === 1 && !$"bad")
       .select(lit(round).as("round"), $"seqInRound", $"ordinal", $"f.*")
+    val headSizes = parsed.filter($"kind" === 2)
+      .select(lit(round).as("round"), $"seqInRound", $"ordinal", $"hp.*")
 
     // ---- discovered links → frontier candidates ---------------------------
     val robotsOk = udf((u: String) => Robots.allowed(u))
@@ -373,7 +393,10 @@ object CrawlLoop {
       g.TableWrite("seen", bounded(newSeenUrls), g.Append,
         Some(() => m(obsNew, "n")), stage = 2),
       g.TableWrite("bloom", bounded(deltaBloom), g.Append, stage = 2),
-    ), metrics = bloomSizing(cfg) ++ Map(
+    ) ++ (if (cfg.repo.gpcrmdCount > 0) Seq(
+      g.TableWrite("head_sizes", headSizes, g.Append,
+        Some(() => m(obsParsed, "hV")), stage = 2)) else Seq.empty),
+    metrics = bloomSizing(cfg) ++ Map(
       "round" -> round.toLong,
       "fetched" -> m(obsFetch, "n"),
       "ok" -> m(obsFetch, "ok"),
@@ -477,7 +500,9 @@ object CrawlLoop {
       seqInRound: Int, status: Int, attempts: Int, doc: Doc,
       links: Seq[DiscoveredLink])
 
-  /** One validated parse result; kind 0 = dataset row, 1 = file row. */
+  /** One validated parse result; kind 0 = dataset row, 1 = file row,
+    * 2 = HEAD size-probe answer. */
   final case class ParsedRow(seqInRound: Int, ordinal: Int, kind: Int,
-      ds: Option[DatasetRecord], f: Option[FileRecord], bad: Boolean)
+      ds: Option[DatasetRecord], f: Option[FileRecord],
+      hp: Option[HeadProbe], bad: Boolean)
 }

@@ -16,7 +16,7 @@ object PageParser {
 
   /** Crawlable link schemes; everything else (thumb://, dl://, zip://) is a
     * terminal media reference, kept in the doc but never fetched. */
-  private val Crawlable = Set("zenodo", "figshare", "osf", "nomad")
+  private val Crawlable = Set("zenodo", "figshare", "osf", "nomad", "gpcrmd")
 
   private def kindOf(url: String): String = {
     val path = url.dropWhile(_ != ':').drop(3)
@@ -26,11 +26,11 @@ object PageParser {
   /** Dataset-type score: discovery pages outrank detail pages outrank
     * zip subcrawls (the north rule's priority-queue score component). */
   def scoreOf(url: String): Double = kindOf(url) match {
-    case "search" | "cursor"     => 3.0 // discovery pages (cursor chain is
-                                        // latency-critical: 1 page/round)
-    case "article" | "node"      => 2.0
-    case "preview" | "structure" => 1.0
-    case _                       => 0.5
+    case "search" | "cursor"      => 3.0 // discovery pages (cursor chain is
+                                         // latency-critical: 1 page/round)
+    case "article" | "node" | "dyn" => 2.0
+    case "preview" | "structure"  => 1.0
+    case _                        => 0.5 // head probes, unknown
   }
 
   /** Outlinks in span order, with in-page ordinals. */
@@ -106,7 +106,8 @@ object PageParser {
   }
 
   private val RecordRe = "^record ([a-z]-\\d+)$".r
-  private val FileRe = "^file: (\\S+) size: (\\d+) md5: (\\S+)$".r
+  private val FileRe = "^file: (\\S+) size: (\\d+|\\?) md5: (\\S+)$".r
+  private val HeadSizeRe = "^headsize: (\\S+) size: (\\d+)$".r
   private val ZipEntryRe = "^zipentry (\\S+) size: (\\d+)$".r
   private val ZipUrlRe = "^zip://([a-z]+)/(\\d+)/([^/]+)/.*$".r
 
@@ -162,8 +163,9 @@ object PageParser {
       spans.sliding(2).collect {
         case Seq(Span("text", FileRe(name, size, md5), _, _),
                  Span("media", _, url, _)) =>
+          // "?" = size unknown until the HEAD probe answers (gpcrmd/atlas)
           FileRecord(host, id, doc.doc_id, name, url,
-            Some(size.toLong), Some(md5), None, "")
+            size.toLongOption, Some(md5), None, "")
       }
     }
     val zipped = doc.spans.collect {
@@ -173,6 +175,14 @@ object PageParser {
     }
     direct ++ zipped
   }
+
+  /** HEAD-probe answers on a page → (file_url, size) rows (S13,
+    * atlas.py:88-124). */
+  def parseHeadSizes(doc: Doc): Seq[HeadProbe] =
+    doc.spans.collect {
+      case Span("text", HeadSizeRe(url, size), _, _) =>
+        HeadProbe(url, size.toLong)
+    }
 
   private def splitRecords(spans: Seq[Span]): Seq[(String, Seq[Span])] = {
     val starts = spans.zipWithIndex.collect {

@@ -101,6 +101,7 @@ object ReferenceCrawl {
           cleanup: CleanupConfig = CleanupConfig()): CrawlResult = {
     val frontier = mutable.ArrayBuffer.empty[FetchTask]
     val seen = mutable.LinkedHashSet.empty[String]
+    val headSizes = mutable.HashMap.empty[String, Long]
     val log = Vector.newBuilder[LogEntry]
     val docs = mutable.LinkedHashMap.empty[String, Seq[Span]]
     val datasets = Vector.newBuilder[DatasetRecord]
@@ -147,6 +148,8 @@ object ReferenceCrawl {
               case Left(_)  => fileQuarantine += 1
             }
           }
+          PageParser.parseHeadSizes(page.doc).foreach(h =>
+            headSizes(h.file_url) = h.file_size_in_bytes)
           // accounting order = engine order: robots gate, then first-wins
           // within the round (counts every later occurrence as dup), then
           // the URL-seen check (counts once per distinct url)
@@ -176,7 +179,12 @@ object ReferenceCrawl {
       round += 1
     }
     val ds = datasets.result(); val fs = files.result()
-    val (dsClean, fsClean, exclCounts, fp) = clean(cleanup, ds, fs)
+    val (dsClean, fsClean0, exclCounts, fp) = clean(cleanup, ds, fs)
+    // HEAD-probe size fill (post-pass, engine parity)
+    val fsClean = fsClean0.map(f =>
+      if (f.file_size_in_bytes.isDefined) f
+      else f.copy(file_size_in_bytes =
+        headSizes.get(f.file_url_in_repository)))
     CrawlResult(log.result(), seen.toSet, docs.toMap, ds, fs,
       metrics.result(), dsClean, fsClean, exclCounts, fp)
   }

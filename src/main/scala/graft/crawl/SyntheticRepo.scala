@@ -52,6 +52,12 @@ final case class RepoConfig(
       * chain (nomad.py:44-158 `page_after_value`): the engine cannot
       * parallelize it and must preserve order. */
     cursorPages: Int = 0,
+    /** dataset count of the GPCRmd-style repository (0 = absent): ONE
+      * single-shot index page (gpcrmd.py:38-63) linking per-dataset pages
+      * whose file sizes are unknown until a per-file HEAD probe
+      * (atlas.py:88-124) — `gpcrmd://head/...` tasks answering with a
+      * size-only span and zero links. */
+    gpcrmdCount: Int = 0,
 )
 
 object SyntheticRepo {
@@ -136,7 +142,14 @@ object SyntheticRepo {
       url = cursorUrl(cfg, 1), host = "nomad", depth = 0, score = 3.0,
       round = 0, queryIdx = Hosts.size * cfg.fileTypes.size, pageIdx = 1,
       hitIdx = 0))
-    searches ++ cursor
+    // GPCRmd-style single-shot index (S6): the whole repository behind one
+    // page (gpcrmd.py:38-63 scrapes one dynadb listing)
+    val index = if (cfg.gpcrmdCount <= 0) Seq.empty
+    else Seq(FetchTask(
+      url = "gpcrmd://index", host = "gpcrmd", depth = 0, score = 3.0,
+      round = 0, queryIdx = Hosts.size * cfg.fileTypes.size + 1, pageIdx = 0,
+      hitIdx = 0))
+    searches ++ cursor ++ index
   }
 
   /** Opaque-but-deterministic cursor token (the `page_after_value`):
@@ -153,6 +166,8 @@ object SyntheticRepo {
   private val PreviewRe = "^zenodo://preview/(\\d+)/([^/]+)$".r
   private val StructRe = "^figshare://structure/(\\d+)/(\\d+)$".r
   private val CursorRe = "^nomad://cursor/(\\d+)-([0-9a-f]{16})$".r
+  private val DynRe = "^gpcrmd://dyn/(\\d+)$".r
+  private val HeadRe = "^gpcrmd://head/(\\d+)/(\\d+)$".r
 
   /** Fetch a URL through the reference's retry envelope
     * (toolbox.py:29-117): up to `maxAttempts` tries; a 202 "accepted but
@@ -194,6 +209,9 @@ object SyntheticRepo {
       case PreviewRe(n, name)      => zipSpans(cfg, "zenodo", n.toInt, name)
       case StructRe(n, ord)        => zipSpans(cfg, "figshare", n.toInt, s"arch$ord.zip")
       case CursorRe(k, tok)        => cursorSpans(cfg, k.toInt, tok)
+      case "gpcrmd://index"        => indexSpans(cfg)
+      case DynRe(n)                => recordSpans(cfg, "gpcrmd", n.toInt, detail = true)
+      case HeadRe(n, j)            => headSpans(cfg, n.toInt, j.toInt)
       case _                       => Seq.empty
     }
     val doc = Doc(url, spans)
@@ -320,16 +338,40 @@ object SyntheticRepo {
     else Seq.empty)
     val fileSpans = files.zipWithIndex.flatMap { case (f, j) =>
       val link = f.url
+      // GPCRmd-style pages list files WITHOUT sizes (gpcrmd.py:161-271);
+      // a per-file HEAD probe task fills them in (S13)
+      val sizeTxt = if (host == "gpcrmd") "?" else f.size.toString
       Seq(
-        at("text", s"file: ${f.name} size: ${f.size} md5: ${f.md5}"),
+        at("text", s"file: ${f.name} size: $sizeTxt md5: ${f.md5}"),
         at("media", s"file ${f.name}", link),
-      ) ++ (if (f.name.endsWith(".zip"))
+      ) ++ (if (f.name.endsWith(".zip") && (host == "zenodo" || host == "figshare"))
         Seq(at("media", "zip preview",
           if (host == "zenodo") s"zenodo://preview/$n/${f.name}"
           else s"figshare://structure/$n/$j"))
+      else Seq.empty) ++ (if (host == "gpcrmd")
+        Seq(at("media", "head probe", s"gpcrmd://head/$n/$j"))
       else Seq.empty)
     }
     head ++ fileSpans
+  }
+
+  /** GPCRmd-style single-shot index: every dataset of the repository on
+    * one page (S6 in its true form — no pagination). */
+  private def indexSpans(cfg: RepoConfig): Seq[Span] =
+    Span("text", s"gpcrmd index of ${cfg.gpcrmdCount} dynamics", "", 0) +:
+      (0 until cfg.gpcrmdCount).flatMap { n =>
+        Seq(
+          Span("text", s"dynamics ${datasetId("gpcrmd", n)}: ${titleOf(cfg, "gpcrmd", n)}", "", 10 * (n + 1)),
+          Span("media", "dyn link", s"gpcrmd://dyn/$n", 10 * (n + 1) + 1))
+      }
+
+  /** HEAD size probe answer (S13, atlas.py:88-124): one size-only text
+    * span, zero links — the metadata-only request variant. */
+  private def headSpans(cfg: RepoConfig, n: Int, j: Int): Seq[Span] = {
+    val files = fileEntries(cfg, "gpcrmd", n)
+    if (j >= files.size) return Seq(Span("text", s"no such file $j", "", 0))
+    val f = files(j)
+    Seq(Span("text", s"headsize: ${f.url} size: ${f.size}", "", 0))
   }
 
   /** Deterministic nested simulation-metadata JSON for a nomad record —

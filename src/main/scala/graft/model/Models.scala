@@ -130,6 +130,11 @@ final case class SimulationMetadata(
     simulation_temperatures_in_kelvin: Seq[Double],
 )
 
+/** HEAD size-probe answer (S13, reference atlas.py:88-124): the size of one
+  * file URL learned from a metadata-only request; merged into the files
+  * table by the post-pass. */
+final case class HeadProbe(file_url: String, file_size_in_bytes: Long)
+
 /** Validated file row (reference FileMetadata, models/file.py:27-97). */
 final case class FileRecord(
     dataset_repository_name: String,

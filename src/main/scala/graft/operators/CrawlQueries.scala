@@ -19,9 +19,9 @@ object CrawlQueries {
 
   private val repo = RepoConfig(seed = 42L, universe = 400,
     fileTypes = Seq("gro", "mdp"), pageSize = 20, maxHitsPerQuery = 100,
-    cursorPages = 6)
+    cursorPages = 6, gpcrmdCount = 30)
   private val budget = Map("zenodo" -> 40, "figshare" -> 25, "osf" -> 30,
-    "nomad" -> 5)
+    "nomad" -> 5, "gpcrmd" -> 20)
 
   /** One micro-crawl per session (sfDir-independent), memoized. */
   @volatile private var cached: Option[(SparkSession, graft.tables.Glacier)] = None

@@ -20,9 +20,9 @@ class CrawlParitySpec extends AnyFunSuite {
 
   private val repo = RepoConfig(seed = 42L, universe = 400,
     fileTypes = Seq("gro", "mdp"), pageSize = 20, maxHitsPerQuery = 100,
-    cursorPages = 6)
+    cursorPages = 6, gpcrmdCount = 30)
   private val budget = Map("zenodo" -> 40, "figshare" -> 25, "osf" -> 30,
-    "nomad" -> 5)
+    "nomad" -> 5, "gpcrmd" -> 20)
   private val maxRounds = 12
 
   private def cfg(root: String) = CrawlConfig(repo, budget, maxRounds, root,
@@ -63,6 +63,12 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(oracle.datasets.exists(d => d.simulation.exists(s =>
       s.simulation_temperatures_in_kelvin.nonEmpty &&
         s.molecules.exists(_.external_identifiers.exists(_.url.isDefined)))))
+    // gpcrmd files surface sizeless (HEAD probe pending) and the post-pass
+    // fills sizes for files whose probe was fetched
+    assert(oracle.files.exists(f =>
+      f.dataset_repository_name == "gpcrmd" && f.file_size_in_bytes.isEmpty))
+    assert(oracle.filesClean.exists(f =>
+      f.dataset_repository_name == "gpcrmd" && f.file_size_in_bytes.isDefined))
   }
 
   test("crawl-order log matches the oracle exactly") {
