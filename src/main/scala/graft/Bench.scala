@@ -33,11 +33,11 @@ object Bench {
       try {
         val repo = crawl.RepoConfig(seed = 7L, universe = 60000,
           fileTypes = Seq("gro", "mdp", "xtc", "top"), cursorPages = 5,
-          gpcrmdCount = 500)
+          gpcrmdCount = 500, mddbCount = 800)
         val cfg = crawl.CrawlLoop.CrawlConfig(
           repo,
           hostBudget = Map("zenodo" -> 16000, "figshare" -> 12000,
-            "osf" -> 12000, "nomad" -> 50, "gpcrmd" -> 2000),
+            "osf" -> 12000, "nomad" -> 50, "gpcrmd" -> 2000, "mddb" -> 3000),
           maxRounds = 5,
           glacierRoot = java.nio.file.Files
             .createTempDirectory("bench-crawl").toString,

@@ -39,9 +39,10 @@ object CrawlBench {
     val repo = RepoConfig(seed = 7L, universe = 30000 * scale,
       fileTypes = Seq("gro", "mdp", "xtc", "top"),
       pageSize = 100, maxHitsPerQuery = 10000, cursorPages = 8,
-      gpcrmdCount = 250 * scale)
+      gpcrmdCount = 250 * scale, mddbCount = 400 * scale)
     val budget = Map("zenodo" -> 4000 * scale, "figshare" -> 3000 * scale,
-      "osf" -> 3000 * scale, "nomad" -> 50, "gpcrmd" -> 500 * scale)
+      "osf" -> 3000 * scale, "nomad" -> 50, "gpcrmd" -> 500 * scale,
+      "mddb" -> 800 * scale)
     // Glacier root on tmpfs when available: the bench measures the ENGINE,
     // not one local disk — a cluster deployment spreads these writes over
     // hundreds of spindles/object-store shards. Override with

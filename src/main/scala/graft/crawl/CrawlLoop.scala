@@ -298,15 +298,21 @@ object CrawlLoop {
       .select(lit(round).as("round"), $"seqInRound", $"ordinal", $"hp.*")
 
     // ---- discovered links → frontier candidates ---------------------------
-    val robotsOk = udf((u: String) => Robots.allowed(u))
+    // Column-expression gates (no UDF — the whole link chain stays inside
+    // whole-stage codegen): the fixed-two-round OSF expansion bound
+    // (CrawlSpec.linkAllowed) before the robots rules (Robots.allowedCol).
     val obsLinks = Observation(s"links_r$round")
     val allowedLinks = fetched.filter($"status" === 200)
       .select($"seqInRound", $"depth", explode($"links").as("l"))
       .select($"seqInRound", $"depth", $"l.url".as("url"),
         $"l.ordinal".as("ordinal"), $"l.score".as("score"))
-      .withColumn("rob", robotsOk($"url"))
-      .observe(obsLinks, count_if($"rob").as("allowed"))
-      .filter($"rob").drop("rob")
+      .withColumn("gate",
+        !(startswith($"url", lit("osf://node/")) && $"depth" >= 3))
+      .withColumn("rob", Robots.allowedCol($"url"))
+      .observe(obsLinks,
+        count_if($"gate" && $"rob").as("allowed"),
+        count_if(!$"gate").as("gated"))
+      .filter($"gate" && $"rob").drop("gate", "rob")
 
     // first-wins within the round: earliest (seqInRound, ordinal) per url
     val wUrl = Window.partitionBy($"url")
@@ -401,7 +407,9 @@ object CrawlLoop {
       "fetched" -> m(obsFetch, "n"),
       "ok" -> m(obsFetch, "ok"),
       "attempts" -> m(obsFetch, "attempts"),
-      "robots_excluded" -> (m(obsFetch, "links") - m(obsLinks, "allowed")),
+      "robots_excluded" -> (m(obsFetch, "links") - m(obsLinks, "gated") -
+        m(obsLinks, "allowed")),
+      "depth_gated" -> m(obsLinks, "gated"),
       "dup_in_round" -> (m(obsLinks, "allowed") - m(obsFirst, "n")),
       "seen_hits" -> (m(obsFirst, "n") - m(obsNew, "n")),
       "enqueued" -> m(obsNew, "n"),

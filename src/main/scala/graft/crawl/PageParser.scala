@@ -16,7 +16,8 @@ object PageParser {
 
   /** Crawlable link schemes; everything else (thumb://, dl://, zip://) is a
     * terminal media reference, kept in the doc but never fetched. */
-  private val Crawlable = Set("zenodo", "figshare", "osf", "nomad", "gpcrmd")
+  private val Crawlable = Set("zenodo", "figshare", "osf", "nomad", "gpcrmd",
+    "mddb")
 
   private def kindOf(url: String): String = {
     val path = url.dropWhile(_ != ':').drop(3)
@@ -26,16 +27,37 @@ object PageParser {
   /** Dataset-type score: discovery pages outrank detail pages outrank
     * zip subcrawls (the north rule's priority-queue score component). */
   def scoreOf(url: String): Double = kindOf(url) match {
-    case "search" | "cursor"      => 3.0 // discovery pages (cursor chain is
-                                         // latency-critical: 1 page/round)
-    case "article" | "node" | "dyn" => 2.0
+    case "search" | "cursor" | "projects" => 3.0 // discovery pages (cursor
+                                         // chain is latency-critical:
+                                         // 1 page/round)
+    case "article" | "node" | "dyn" | "filenotes" => 2.0
     case "preview" | "structure"  => 1.0
     case _                        => 0.5 // head probes, unknown
   }
 
-  /** Outlinks in span order, with in-page ordinals. */
+  private val OsfSearchDocRe = "^osf://search/([a-z0-9]+)/\\d+$".r
+  private val OsfHitRe = "^hit kind=(\\S+) name=(\\S+) in node .*$".r
+
+  /** The reference's break-not-continue page abort (F4,
+    * scrape_osf.py:170-175): while walking an OSF file-search page's hits,
+    * the FIRST hit whose kind isn't "file" or whose name misses the
+    * query's extension `break`s out of the page loop — every later hit on
+    * that page is never parsed. Returns the span prefix the parser may
+    * consume; non-OSF-search pages pass through whole.
+    */
+  def parseableSpans(doc: Doc): Seq[Span] = doc.doc_id match {
+    case OsfSearchDocRe(ft) =>
+      val bad = doc.spans.indexWhere(s => s.kind == "text" && (s.text match {
+        case OsfHitRe(kind, name) => kind != "file" || !name.endsWith("." + ft)
+        case _ => false
+      }))
+      if (bad >= 0) doc.spans.take(bad) else doc.spans
+    case _ => doc.spans
+  }
+
+  /** Outlinks in span order, with in-page ordinals (post page-abort). */
   def extractLinks(doc: Doc): Seq[DiscoveredLink] =
-    doc.spans.iterator
+    parseableSpans(doc).iterator
       .filter(s => s.kind == "media" && Crawlable.contains(s.media_ref.takeWhile(_ != ':')))
       .zipWithIndex
       .map { case (s, i) => DiscoveredLink(s.media_ref, kindOf(s.media_ref), i, scoreOf(s.media_ref)) }
@@ -122,8 +144,12 @@ object PageParser {
     * caller's quarantine step.
     */
   def parseDatasets(host: String, doc: Doc): Seq[DatasetRecord] = {
+    // filenotes subfetches are file listings only — the reference parses
+    // them exclusively through extract_files_metadata (mddb.py:716-785);
+    // the project record came from the offset page
+    if (doc.doc_id.startsWith("mddb://filenotes/")) return Seq.empty
     // split the span stream at "record <id>" markers
-    val groups = splitRecords(doc.spans)
+    val groups = splitRecords(parseableSpans(doc))
     groups.map { case (id, spans) =>
       val dl = field(spans, "downloads")
         .map(_.split(" views: ")).getOrElse(Array.empty[String])
@@ -143,8 +169,11 @@ object PageParser {
         date_created = field(spans, "date"),
         download_number = dl.headOption.flatMap(_.toLongOption),
         view_number = dl.lift(1).flatMap(_.toLongOption),
-        number_of_files = Some(spans.count(s =>
-          s.kind == "text" && s.text.startsWith("file: ")).toLong),
+        // MDposit records carry the count directly (len(dataset.files),
+        // mddb.py:673); page-embedded records count their file lines
+        number_of_files = field(spans, "nfiles").flatMap(_.toLongOption)
+          .orElse(Some(spans.count(s =>
+            s.kind == "text" && s.text.startsWith("file: ")).toLong)),
         description_minhash = mh,
         description_simhash = sh,
         description_tokens = tok,
@@ -159,7 +188,8 @@ object PageParser {
     * `containing_archive_file_name`).
     */
   def parseFiles(host: String, doc: Doc): Seq[FileRecord] = {
-    val direct = splitRecords(doc.spans).flatMap { case (id, spans) =>
+    val ps = parseableSpans(doc)
+    val direct = splitRecords(ps).flatMap { case (id, spans) =>
       spans.sliding(2).collect {
         case Seq(Span("text", FileRe(name, size, md5), _, _),
                  Span("media", _, url, _)) =>
@@ -168,7 +198,7 @@ object PageParser {
             size.toLongOption, Some(md5), None, "")
       }
     }
-    val zipped = doc.spans.collect {
+    val zipped = ps.collect {
       case Span("media", ZipEntryRe(path, size), url @ ZipUrlRe(h2, n, zipName), _) =>
         FileRecord(h2, s"${h2.head}-$n", doc.doc_id, path, url,
           Some(size.toLong), None, Some(zipName), "")
@@ -201,12 +231,26 @@ object PageParser {
   * numeric suffix ≡ 0 (mod 17) are disallowed. Pure, executor-safe.
   */
 object Robots {
-  private val OsfNode = "^osf://node/(\\d+)$".r
-  private val ZenPrev = "^zenodo://preview/\\d+/archive_(\\d+)\\.zip$".r
+  private val OsfNodePat = "^osf://node/(\\d+)$"
+  private val ZenPrevPat = "^zenodo://preview/\\d+/archive_(\\d+)\\.zip$"
+  private val OsfNode = OsfNodePat.r
+  private val ZenPrev = ZenPrevPat.r
 
   def allowed(url: String): Boolean = url match {
     case OsfNode(n)  => n.toLong % 13 != 0
     case ZenPrev(k)  => k.toLong % 17 != 0
     case _           => true
+  }
+
+  /** Column twin of [[allowed]] — pure regexp_extract/pmod expressions so
+    * the link-gating chain stays inside whole-stage codegen (a Scala UDF
+    * here was the one avoidable codegen break in the hot path). */
+  def allowedCol(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val osfN = regexp_extract(url, OsfNodePat, 1)
+    val zenK = regexp_extract(url, ZenPrevPat, 1)
+    when(osfN =!= "", osfN.cast("long") % 13 =!= 0)
+      .when(zenK =!= "", zenK.cast("long") % 17 =!= 0)
+      .otherwise(lit(true))
   }
 }

@@ -33,6 +33,18 @@ object CrawlSpec {
                 parentSeq: Int, ordinal: Int): FetchTask =
     FetchTask(url, url.takeWhile(_ != ':'), parentDepth + 1,
       PageParser.scoreOf(url), round, parentSeq, 0, ordinal)
+
+  /** Fixed-two-round OSF node-graph closure (S12): the reference expands
+    * children+parents exactly TWICE over the search-found set
+    * (scrape_osf.py:493-494 calls add_children_parent_datasets back to
+    * back) — nodes reached by the second expansion are still fetched, but
+    * their own node links are never followed. Depths here: search page 0,
+    * search-found nodes 1, expansion rounds land at 2 and 3; node links
+    * minted by a depth-3 node would be a third expansion → dropped before
+    * any other gate (the reference never generates them at all).
+    */
+  def linkAllowed(parentDepth: Int, url: String): Boolean =
+    !(url.startsWith("osf://node/") && parentDepth >= 3)
 }
 
 final case class LogEntry(round: Int, seqInRound: Int, url: String,
@@ -124,7 +136,7 @@ object ReferenceCrawl {
 
       var robotsExcluded = 0L; var dupInRound = 0L; var seenHits = 0L
       var enqueued = 0L; var ok = 0L; var dsQuarantine = 0L; var fileQuarantine = 0L
-      var attempts = 0L
+      var attempts = 0L; var depthGated = 0L
       val roundNew = mutable.HashSet.empty[String]
 
       selected.zipWithIndex.foreach { case (task, i) =>
@@ -154,7 +166,8 @@ object ReferenceCrawl {
           // within the round (counts every later occurrence as dup), then
           // the URL-seen check (counts once per distinct url)
           page.links.foreach { l =>
-            if (!Robots.allowed(l.url)) robotsExcluded += 1
+            if (!CrawlSpec.linkAllowed(task.depth, l.url)) depthGated += 1
+            else if (!Robots.allowed(l.url)) robotsExcluded += 1
             else if (roundNew.contains(l.url)) dupInRound += 1
             else {
               roundNew += l.url
@@ -171,7 +184,7 @@ object ReferenceCrawl {
       metrics += Map(
         "round" -> round.toLong, "fetched" -> selected.size.toLong,
         "ok" -> ok, "attempts" -> attempts,
-        "robots_excluded" -> robotsExcluded,
+        "robots_excluded" -> robotsExcluded, "depth_gated" -> depthGated,
         "dup_in_round" -> dupInRound, "seen_hits" -> seenHits,
         "enqueued" -> enqueued, "frontier_pending" -> frontier.size.toLong,
         "datasets_quarantined" -> dsQuarantine,

@@ -58,6 +58,14 @@ final case class RepoConfig(
       * (atlas.py:88-124) — `gpcrmd://head/...` tasks answering with a
       * size-only span and zero links. */
     gpcrmdCount: Int = 0,
+    /** project count of the MDDB/MDposit-style repository (0 = absent):
+      * offset-paginated project listing at pageSize/2 per page (the
+      * reference's page_size 50, mddb.py:59-156) whose total is known up
+      * front from a count probe (mddb.py:95-113), records carrying a flat
+      * PROGRAM/FF/PDBIDS metadata envelope plus per-replica filenotes
+      * links (`mddb://filenotes/<n>/<rid>`, mddb.py:716-785) that list the
+      * replica's files. */
+    mddbCount: Int = 0,
 )
 
 object SyntheticRepo {
@@ -149,8 +157,27 @@ object SyntheticRepo {
       url = "gpcrmd://index", host = "gpcrmd", depth = 0, score = 3.0,
       round = 0, queryIdx = Hosts.size * cfg.fileTypes.size + 1, pageIdx = 0,
       hitIdx = 0))
-    searches ++ cursor ++ index
+    // MDDB/MDposit offset pagination (S5 in its true form): the count
+    // probe (limit=10, page=1, mddb.py:95-113) fixes page_total BEFORE the
+    // page loop, so every offset page is known and enqueueable up front —
+    // unlike the cursor chain, pages are independent.
+    val mddb = (1 to mddbPages(cfg)).map(p => FetchTask(
+      url = s"mddb://projects/$p", host = "mddb", depth = 0, score = 3.0,
+      round = 0, queryIdx = Hosts.size * cfg.fileTypes.size + 2, pageIdx = p,
+      hitIdx = 0))
+    searches ++ cursor ++ index ++ mddb
   }
+
+  /** MDposit page size: the reference uses 50 against Zenodo's 100
+    * (mddb.py:62 `page_size: int = 50`). */
+  def mddbPerPage(cfg: RepoConfig): Int = math.max(1, cfg.pageSize / 2)
+
+  def mddbPages(cfg: RepoConfig): Int =
+    if (cfg.mddbCount <= 0) 0
+    else (cfg.mddbCount + mddbPerPage(cfg) - 1) / mddbPerPage(cfg)
+
+  /** Replicas per MDposit project (the `mds` list, mddb.py:702-713). */
+  def nReplicas(cfg: RepoConfig, n: Int): Int = 1 + pos(h(cfg, "mds", n), 3)
 
   /** Opaque-but-deterministic cursor token (the `page_after_value`):
     * knowable only from page k-1's content. */
@@ -168,6 +195,8 @@ object SyntheticRepo {
   private val CursorRe = "^nomad://cursor/(\\d+)-([0-9a-f]{16})$".r
   private val DynRe = "^gpcrmd://dyn/(\\d+)$".r
   private val HeadRe = "^gpcrmd://head/(\\d+)/(\\d+)$".r
+  private val MddbPageRe = "^mddb://projects/(\\d+)$".r
+  private val FilenotesRe = "^mddb://filenotes/(\\d+)/(\\d+)$".r
 
   /** Fetch a URL through the reference's retry envelope
     * (toolbox.py:29-117): up to `maxAttempts` tries; a 202 "accepted but
@@ -212,6 +241,8 @@ object SyntheticRepo {
       case "gpcrmd://index"        => indexSpans(cfg)
       case DynRe(n)                => recordSpans(cfg, "gpcrmd", n.toInt, detail = true)
       case HeadRe(n, j)            => headSpans(cfg, n.toInt, j.toInt)
+      case MddbPageRe(p)           => mddbPageSpans(cfg, p.toInt)
+      case FilenotesRe(n, rid)     => filenotesSpans(cfg, n.toInt, rid.toInt)
       case _                       => Seq.empty
     }
     val doc = Doc(url, spans)
@@ -269,9 +300,16 @@ object SyntheticRepo {
         case "figshare" => Seq(
           Span("text", s"article ${datasetId(host, n)}: ${titleOf(cfg, host, n)}", "", off),
           Span("media", "article link", s"figshare://article/$n", off + 1))
-        case "osf" => Seq(
-          Span("text", s"file hit ${word(h(cfg, "fh", n))}.$ft in node ${datasetId(host, n)}", "", off),
-          Span("media", "node link", s"osf://node/$n", off + 1))
+        case "osf" =>
+          // OSF file-search hits carry an attributes.kind and a file name;
+          // hits that are folders or miss the query's extension exist in
+          // real result pages (scrape_osf.py:171-175 guards both) — bait
+          // for the parser's break-not-continue page abort (F4)
+          val kind = if (pos(h(cfg, "okind", ft, k), 23) == 0) "folder" else "file"
+          val ext = if (pos(h(cfg, "oext", ft, k), 29) == 0) "txt" else ft
+          Seq(
+            Span("text", s"hit kind=$kind name=${word(h(cfg, "fh", n))}_$k.$ext in node ${datasetId(host, n)}", "", off),
+            Span("media", "node link", s"osf://node/$n", off + 1))
       }
     }
     header ++ hits
@@ -314,7 +352,7 @@ object SyntheticRepo {
   def recordSpans(cfg: RepoConfig, host: String, n: Int,
                   detail: Boolean, baseOff: Int = 0): Seq[Span] = {
     val id = datasetId(host, n)
-    val files = fileEntries(cfg, host, n)
+    lazy val files = fileEntries(cfg, host, n) // unused for mddb records
     var off = baseOff
     def at(k: String, t: String, m: String = ""): Span = {
       val s = Span(k, t, m, off); off += 1; s
@@ -335,8 +373,20 @@ object SyntheticRepo {
       // (nomad.py:248-372); ~1/13 payloads have a non-positive timestep →
       // the whole record quarantines (pydantic ValidationError semantics)
       Seq(at("text", s"simulation: ${simulationJson(cfg, n)}"))
+    else if (host == "mddb")
+      // MDposit projects carry the flat PROGRAM/FF/PDBIDS envelope
+      // (mddb.py:159-713) — deep-extraction + 6-case assembly surface
+      Seq(at("text", s"simulation: ${mddbMetaJson(cfg, n)}"))
     else Seq.empty)
-    val fileSpans = files.zipWithIndex.flatMap { case (f, j) =>
+    // MDposit files come only from per-replica filenotes subfetches
+    // (mddb.py:716-785); the project record itself carries the file COUNT
+    // (len(dataset.files), mddb.py:673) and the replica links.
+    val fileSpans = if (host == "mddb") {
+      val reps = nReplicas(cfg, n)
+      val total = (1 to reps).map(r => mddbFileEntries(cfg, n, r).size).sum
+      at("text", s"nfiles: $total") +: (1 to reps).map(r =>
+        at("media", s"replica $r filenotes", s"mddb://filenotes/$n/$r"))
+    } else files.zipWithIndex.flatMap { case (f, j) =>
       val link = f.url
       // GPCRmd-style pages list files WITHOUT sizes (gpcrmd.py:161-271);
       // a per-file HEAD probe task fills them in (S13)
@@ -353,6 +403,112 @@ object SyntheticRepo {
       else Seq.empty)
     }
     head ++ fileSpans
+  }
+
+  /** One offset page of the MDposit project listing: `mddbPerPage` full
+    * project records inline (like the `projects` array of mddb.py:130-134),
+    * page total known up front — no in-page pagination links needed.
+    */
+  private def mddbPageSpans(cfg: RepoConfig, p: Int): Seq[Span] = {
+    val perPage = mddbPerPage(cfg)
+    val total = cfg.mddbCount
+    if (p < 1 || p > mddbPages(cfg))
+      return Seq(Span("text", s"no results page=$p", "", 0))
+    val from = (p - 1) * perPage
+    val until = math.min(total, from + perPage)
+    val header = Span("text",
+      s"mdposit projects page $p of ${mddbPages(cfg)} filteredCount $total", "", 0)
+    // offset pagination walks a STABLE ordered project list — record n is
+    // simply the n-th project, not a hash draw (contrast hitDataset)
+    header +: (from until until).zipWithIndex.flatMap { case (n, i) =>
+      recordSpans(cfg, "mddb", n, detail = false, 100 * (i + 1))
+    }
+  }
+
+  /** Per-replica filenotes page (mddb.py:745-763 fetches
+    * `/projects/<id>.<rid>/filenotes`): the replica's file listing, names
+    * prefixed `<replica_name>/` exactly as extract_files_metadata builds
+    * them (mddb.py:825-828).
+    */
+  private def filenotesSpans(cfg: RepoConfig, n: Int, rid: Int): Seq[Span] = {
+    if (rid < 1 || rid > nReplicas(cfg, n))
+      return Seq(Span("text", s"no such replica $rid", "", 0))
+    val files = mddbFileEntries(cfg, n, rid)
+    Seq(
+      Span("text", s"filenotes ${datasetId("mddb", n)} replica $rid", "", 0),
+      Span("text", s"record ${datasetId("mddb", n)}", "", 1),
+    ) ++ files.zipWithIndex.flatMap { case (f, i) =>
+      Seq(
+        Span("text", s"file: ${f.name} size: ${f.size} md5: ${f.md5}", "", 10 * (i + 1)),
+        Span("media", s"file ${f.name}", f.url, 10 * (i + 1) + 1))
+    }
+  }
+
+  /** Files of one MDposit replica; names carry the replica prefix
+    * (`replica_<rid>/...`, mddb.py:767-773 + 828) and urls the
+    * `<id>.<rid>/files/<name>` shape (mddb.py:823). */
+  def mddbFileEntries(cfg: RepoConfig, n: Int, rid: Int): Seq[FileEntry] = {
+    val exts = Seq("gro", "mdp", "xtc", "tpr", "pdf")
+    (0 until (1 + pos(h(cfg, "mnf", n, rid), 4))).map { j =>
+      val name = s"replica_$rid/${word(h(cfg, "mfn", n, rid, j))}_$j.${exts(pos(h(cfg, "mfe", n, rid, j), exts.size))}"
+      FileEntry(name, s"dl://mddb/$n.$rid/$name",
+        1000L + pos(h(cfg, "mfs", n, rid, j), 5000000),
+        f"${h(cfg, "mmd5", n, rid, j)}%016x")
+    }
+  }
+
+  /** Deterministic MDposit project-metadata envelope exercising every
+    * branch of the 6-case protein assembly (mddb.py:303-439), the
+    * software/forcefield fallbacks (159-231), small molecules (479-527)
+    * and the timestep/temperature scalars (690-700). ~1/13 payloads carry
+    * a non-positive TIMESTEP → whole-record quarantine, same contract as
+    * the NOMAD payloads.
+    */
+  def mddbMetaJson(cfg: RepoConfig, n: Int): String = {
+    def uniId(i: Int): String =
+      if (pos(h(cfg, "unoref", n, i), 7) == 0) "noref"
+      else f"P${pos(h(cfg, "uni", n, i), 99999)}%05d"
+    def seqStr(i: Int): String =
+      word(h(cfg, "pseq", n, i)).toUpperCase * (2 + pos(h(cfg, "plen", n, i), 3))
+    val (nUni, nSeq) = pos(h(cfg, "mcase", n), 6) match {
+      case 0 => (0, 0)                                  // case 1
+      case 1 => (0, 1 + pos(h(cfg, "ns", n), 3))        // case 2
+      case 2 => (1 + pos(h(cfg, "nu", n), 2), 0)        // case 3
+      case 3 => (1, 2 + pos(h(cfg, "ns4", n), 2))       // case 4
+      case 4 => (2, 3)                                  // case 5 (mismatch)
+      case _ => val k = 1 + pos(h(cfg, "nk", n), 3); (k, k) // case 6
+    }
+    val nPdb = pos(h(cfg, "npdb", n), 3)
+    def arr(k: Int, f: Int => String): String =
+      (0 until k).map(i => s""""${f(i)}"""").mkString("[", ",", "]")
+    val fields = Seq.newBuilder[String]
+    if (pos(h(cfg, "noprog", n), 6) != 0) {
+      fields += s""""PROGRAM":"${Seq("gromacs", "namd", "acemd")(pos(h(cfg, "mprog", n), 3))}""""
+      if (pos(h(cfg, "nover", n), 4) != 0)
+        fields += s""""VERSION":"${2018 + pos(h(cfg, "mver", n), 7)}.${1 + pos(h(cfg, "mvp", n), 3)}""""
+    }
+    val nFf = pos(h(cfg, "nff", n), 3)
+    if (nFf > 0)
+      fields += s""""FF":${arr(nFf, i => Seq("charmm36", "amber99sb", "martini3")(pos(h(cfg, "mff", n, i), 3)))}"""
+    if (pos(h(cfg, "nowat", n), 2) == 0)
+      fields += s""""WAT":"${Seq("tip3p", "spc216")(pos(h(cfg, "mwat", n), 2))}""""
+    if (nPdb > 0)
+      fields += s""""PDBIDS":${arr(nPdb, i => f"${pos(h(cfg, "mpdb", n, i), 9999)}%04d")}"""
+    if (nUni > 0) fields += s""""REFERENCES":${arr(nUni, uniId)}"""
+    if (nSeq > 0) fields += s""""PROTSEQ":${arr(nSeq, seqStr)}"""
+    val nNucl = if (pos(h(cfg, "nonucl", n), 5) == 0) 1 else 0
+    if (nNucl > 0)
+      fields += s""""NUCLSEQ":${arr(nNucl, i => "ACGT" * (2 + pos(h(cfg, "nlen", n, i), 3)))}"""
+    fields += s""""SOL":${pos(h(cfg, "msol", n), 5000)}"""
+    fields += s""""NA":${pos(h(cfg, "mna", n), 200)}"""
+    fields += s""""CL":${pos(h(cfg, "mcl", n), 200)}"""
+    if (pos(h(cfg, "noink", n), 4) == 0)
+      fields += s""""INCHIKEYS":["${word(h(cfg, "mink", n)).toUpperCase}-${word(h(cfg, "mink2", n)).toUpperCase}"]"""
+    val ts = if (pos(h(cfg, "mbadts", n), 13) == 0) -1 else 1 + pos(h(cfg, "mts", n), 4)
+    fields += s""""TIMESTEP":$ts"""
+    fields += s""""TEMP":${290 + pos(h(cfg, "mtemp", n), 40)}"""
+    fields += s""""mdAtoms":${1000 + pos(h(cfg, "matoms", n), 3000000)}"""
+    fields.result().mkString("{", ",", "}")
   }
 
   /** GPCRmd-style single-shot index: every dataset of the repository on
@@ -432,7 +588,10 @@ object SyntheticRepo {
     }
   }
 
-  /** OSF node page = record + file listing + child-node links (S11/S12). */
+  /** OSF node page = record + file listing + child-node links + (when the
+    * node has one) a parent-node link — the reference expands BOTH
+    * directions (S12, scrape_osf.py:196-267: /children/ pages plus the
+    * relationships.parent property of the node detail). */
   private def nodeSpans(cfg: RepoConfig, n: Int): Seq[Span] = {
     val rec = recordSpans(cfg, "osf", n, detail = true)
     val nKids = pos(h(cfg, "kids", n), 3) // 0..2 children
@@ -440,7 +599,11 @@ object SyntheticRepo {
       val kid = pos(h(cfg, "kid", n, c), cfg.universe)
       Span("media", s"child node", s"osf://node/$kid", 10000 + c)
     }
-    rec ++ kids
+    val parent = if (pos(h(cfg, "haspar", n), 2) == 0)
+      Seq(Span("media", "parent node",
+        s"osf://node/${pos(h(cfg, "parid", n), cfg.universe)}", 10100))
+    else Seq.empty
+    rec ++ kids ++ parent
   }
 
   /** Zip preview page: preorder file-path listing of a nested tree, paths

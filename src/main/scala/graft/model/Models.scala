@@ -106,6 +106,10 @@ final case class Molecule(
     number_of_atoms: Option[Long],
     formula: Option[String],
     external_identifiers: Seq[ExternalIdentifier],
+    /** amino-acid / nucleotide sequence (mddb.py PROTSEQ/NUCLSEQ). */
+    sequence: Option[String] = None,
+    /** InChIKey for small molecules (mddb.py:516-526). */
+    inchikey: Option[String] = None,
 )
 
 /** Simulation software (models/simulation.py:123-137). */
@@ -286,6 +290,132 @@ object Validators {
       case scala.util.control.NonFatal(_) => Left("malformed simulation json")
     }
 
+  // ---- MDDB/MDposit nested metadata (scrapers/mddb.py) ---------------------
+
+  /** Protein display name for a UniProt accession. The reference resolves
+    * names over the UniProt REST API (mddb.py:234-301) and falls back to
+    * `"Protein <id>"` when the API yields nothing, or `"Unknown protein"`
+    * for the sentinel ids; the engine is offline-deterministic, so the
+    * fallback IS the semantics (name resolution is an external enrichment,
+    * not crawl logic).
+    */
+  def proteinName(uniprotId: String): String =
+    if (uniprotId == "noref" || uniprotId == "notfound") "Unknown protein"
+    else s"Protein $uniprotId"
+
+  /** The reference's 6-case protein-assembly fallback (mddb.py:303-439):
+    * how (PDB ids, UniProt accessions, protein sequences) combine into
+    * Molecule rows depends on which lists are present and whether their
+    * cardinalities line up.
+    */
+  def extractProteins(pdbIds: Seq[ExternalIdentifier], uniprot: Seq[String],
+                      seqs: Seq[String]): Seq[Molecule] = {
+    def uniExt(id: String) =
+      ExternalIdentifier("UNIPROT", id, externalUrl("UNIPROT", id))
+    (uniprot, seqs) match {
+      // Case 1: neither sequences nor accessions — a single anonymous
+      // protein only if PDB ids anchor it (mddb.py:335-350)
+      case (Nil, Nil) =>
+        if (pdbIds.nonEmpty)
+          Seq(Molecule("Protein", Some("PROTEIN"), None, None, None, pdbIds))
+        else Seq.empty
+      // Case 2: sequences but no accessions — one anonymous protein per
+      // sequence (mddb.py:351-365)
+      case (Nil, ss) =>
+        ss.map(s => Molecule("Protein", Some("PROTEIN"), None, None, None,
+          pdbIds, sequence = Some(s)))
+      // Case 3: accessions but no sequences — one named protein per
+      // accession (mddb.py:366-382)
+      case (us, Nil) =>
+        us.map(u => Molecule(proteinName(u), Some("PROTEIN"), None, None,
+          None, uniExt(u) +: pdbIds))
+      // Case 4: ONE accession, many sequences — all sequences assumed to
+      // belong to it (mddb.py:383-404)
+      case (Seq(u), ss) if ss.size > 1 =>
+        ss.map(s => Molecule(proteinName(u), Some("PROTEIN"), None, None,
+          None, uniExt(u) +: pdbIds, sequence = Some(s)))
+      // Case 5: cardinality mismatch — a single "Unknown protein" only if
+      // PDB ids anchor it (mddb.py:405-425)
+      case (us, ss) if us.size != ss.size =>
+        if (pdbIds.nonEmpty)
+          Seq(Molecule("Unknown protein", Some("PROTEIN"), None, None, None,
+            pdbIds))
+        else Seq.empty
+      // Case 6: zip accessions with sequences 1:1 (mddb.py:426-439)
+      case (us, ss) =>
+        us.zip(ss).map { case (u, s) =>
+          Molecule(proteinName(u), Some("PROTEIN"), None, None, None,
+            uniExt(u) +: pdbIds, sequence = Some(s))
+        }
+    }
+  }
+
+  /** Nucleic acids: one anonymous molecule per sequence, PDB ids attached
+    * (mddb.py:442-476). */
+  def extractNucleicAcids(pdbIds: Seq[ExternalIdentifier],
+                          seqs: Seq[String]): Seq[Molecule] =
+    seqs.map(s => Molecule("Nucleic acid", Some("NUCLEIC_ACID"), None, None,
+      None, pdbIds, sequence = Some(s)))
+
+  /** Parse + validate an MDDB/MDposit project-metadata JSON payload
+    * (mddb.py:159-230 software/forcefields, 479-599 molecule assembly,
+    * 690-701 timestep/temperature). Same quarantine contract as
+    * [[parseSimulation]]: Left = drop-and-log the whole record.
+    */
+  def parseMddbMeta(json: String): Either[String, SimulationMetadata] =
+    try {
+      import org.json4s._
+      val j = org.json4s.jackson.JsonMethods.parse(json)
+      def str(f: String): Option[String] =
+        j \ f match { case JString(s) => Some(s); case _ => None }
+      def num(f: String): Option[Double] = j \ f match {
+        case JInt(n) => Some(n.toDouble); case JLong(n) => Some(n.toDouble)
+        case JDouble(d) => Some(d); case _ => None
+      }
+      def strArr(f: String): List[String] = j \ f match {
+        case JArray(xs) => xs.collect { case JString(s) => s }
+        case _ => Nil
+      }
+
+      // software: PROGRAM (+VERSION) → one entry; absent → none
+      // (extract_software_and_version, mddb.py:159-188)
+      val software = str("PROGRAM").map(_.trim).filter(_.nonEmpty)
+        .map(p => Software(p, str("VERSION"))).toSeq
+      // forcefields: FF strings then the WAT water model
+      // (extract_forcefield_or_model_and_version, mddb.py:191-231)
+      val ff = strArr("FF").map(f => ForceFieldModel(f.trim, None)) ++
+        str("WAT").map(_.trim).filter(_.nonEmpty)
+          .map(w => ForceFieldModel(w, None))
+
+      val pdbIds = strArr("PDBIDS").map(p =>
+        ExternalIdentifier("PDB", p, externalUrl("PDB", p)))
+      val proteins = extractProteins(pdbIds, strArr("REFERENCES"),
+        strArr("PROTSEQ"))
+      val nucleic = extractNucleicAcids(pdbIds, strArr("NUCLSEQ"))
+      // small molecules: SOL/NA/CL counts > 0 + INCHIKEYS
+      // (extract_small_molecules, mddb.py:479-527)
+      val small = Seq("SOL" -> "SOLVENT", "NA" -> "ION", "CL" -> "ION")
+        .flatMap { case (name, typ) =>
+          num(name).map(_.toLong).filter(_ > 0).map(c =>
+            Molecule(name, Some(typ), Some(c), None, None, Seq.empty))
+        } ++ strArr("INCHIKEYS").map(k =>
+          Molecule("Small molecule", Some("SMALL_MOLECULE"), None, None,
+            None, Seq.empty, inchikey = Some(k)))
+
+      // timestep: singleton list when present; the shared simulation model
+      // requires strict positivity (simulation.py:174-199)
+      val timesteps = num("TIMESTEP").toSeq.map { t =>
+        if (t <= 0) return Left(s"invalid timestep: $t") else t
+      }
+      // TEMP is already Kelvin in MDposit payloads (mddb.py:694-700)
+      val temps = num("TEMP").toSeq
+
+      Right(SimulationMetadata(software, num("mdAtoms").map(_.toLong),
+        proteins ++ nucleic ++ small, ff, timesteps, temps))
+    } catch {
+      case scala.util.control.NonFatal(_) => Left("malformed mddb metadata")
+    }
+
   /** Validate a raw dataset row: required fields per the reference's
     * `extra=forbid` + required-title contract. Left = quarantine reason.
     */
@@ -300,7 +430,13 @@ object Validators {
       normalized.simulation_json match {
         case None => Right(normalized)
         case Some(js) =>
-          parseSimulation(js).map(sim => normalized.copy(simulation = Some(sim)))
+          // payload format follows the repository: MDposit projects carry
+          // the flat PROGRAM/FF/PDBIDS envelope (mddb.py), NOMAD entries
+          // the nested archive shape (nomad.py)
+          val parsed =
+            if (r.dataset_repository_name == "mddb") parseMddbMeta(js)
+            else parseSimulation(js)
+          parsed.map(sim => normalized.copy(simulation = Some(sim)))
       }
     }
   }

@@ -19,9 +19,9 @@ object CrawlQueries {
 
   private val repo = RepoConfig(seed = 42L, universe = 400,
     fileTypes = Seq("gro", "mdp"), pageSize = 20, maxHitsPerQuery = 100,
-    cursorPages = 6, gpcrmdCount = 30)
+    cursorPages = 6, gpcrmdCount = 30, mddbCount = 35)
   private val budget = Map("zenodo" -> 40, "figshare" -> 25, "osf" -> 30,
-    "nomad" -> 5, "gpcrmd" -> 20)
+    "nomad" -> 5, "gpcrmd" -> 20, "mddb" -> 15)
 
   /** One micro-crawl per session (sfDir-independent), memoized. */
   @volatile private var cached: Option[(SparkSession, graft.tables.Glacier)] = None

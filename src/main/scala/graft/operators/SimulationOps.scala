@@ -114,5 +114,80 @@ object SimulationOps {
           'https://www.rcsb.org/structure/' || pdb AS pdb_url
         FROM ex WHERE timestep_fs > 0 ORDER BY doc_id"""),
     ),
+
+    // ---- the 6-case protein-assembly fallback (mddb.py:303-439) as pure
+    // column arithmetic: which Molecule rows come out of (PDB ids, UniProt
+    // accessions, protein sequences) depends on presence + cardinality
+    // agreement of the lists. Per-row, shuffle-free, whole-stage codegen.
+    QueryEntry(
+      "q_mddb_assembly",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"))
+        val nPdb = pmod(col("doc_id"), lit(3))
+        val sel = pmod(col("doc_id") * 7, lit(6))
+        val nUni = when(sel === 0 || sel === 1, 0L)
+          .when(sel === 2, pmod(col("doc_id"), lit(2)) + 1)
+          .when(sel === 3, 1L).when(sel === 4, 2L)
+          .otherwise(pmod(col("doc_id"), lit(3)) + 1)
+        val nSeq = when(sel === 0 || sel === 2, 0L)
+          .when(sel === 1, pmod(col("doc_id"), lit(3)) + 1)
+          .when(sel === 3, pmod(col("doc_id"), lit(2)) + 2)
+          .when(sel === 4, 3L)
+          .otherwise(pmod(col("doc_id"), lit(3)) + 1)
+        // the reference's case dispatch, in declaration order
+        val caseNo = when(nUni === 0 && nSeq === 0, 1)
+          .when(nUni === 0, 2).when(nSeq === 0, 3)
+          .when(nUni === 1 && nSeq > 1, 4)
+          .when(nUni =!= nSeq, 5).otherwise(6)
+        val nProteins = when(caseNo === 1 || caseNo === 5,
+            when(nPdb > 0, 1L).otherwise(0L))
+          .when(caseNo === 2 || caseNo === 4, nSeq)
+          .otherwise(nUni) // cases 3 and 6: one molecule per accession
+        val uid = concat(lit("P"),
+          lpad(pmod(col("doc_id"), lit(99999)).cast("string"), 5, "0"))
+        val firstName = when(nProteins === 0, lit(null).cast("string"))
+          .when(caseNo === 1 || caseNo === 2, lit("Protein"))
+          .when(caseNo === 5, lit("Unknown protein"))
+          .otherwise(concat(lit("Protein "), uid))
+        d.select(col("doc_id"), caseNo.as("case_no"),
+            nPdb.as("n_pdb"), nUni.as("n_uniprot"), nSeq.as("n_seq"),
+            nProteins.as("n_proteins"), firstName.as("first_name"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH src AS (
+          SELECT doc_id, doc_id % 3 AS n_pdb, (doc_id * 7) % 6 AS sel
+          FROM documents),
+        counts AS (
+          SELECT doc_id, n_pdb,
+            CASE sel WHEN 0 THEN 0 WHEN 1 THEN 0
+              WHEN 2 THEN doc_id % 2 + 1 WHEN 3 THEN 1 WHEN 4 THEN 2
+              ELSE doc_id % 3 + 1 END AS n_uniprot,
+            CASE sel WHEN 0 THEN 0 WHEN 2 THEN 0
+              WHEN 1 THEN doc_id % 3 + 1 WHEN 3 THEN doc_id % 2 + 2
+              WHEN 4 THEN 3 ELSE doc_id % 3 + 1 END AS n_seq
+          FROM src),
+        cased AS (
+          SELECT *, CASE
+              WHEN n_uniprot = 0 AND n_seq = 0 THEN 1
+              WHEN n_uniprot = 0 THEN 2
+              WHEN n_seq = 0 THEN 3
+              WHEN n_uniprot = 1 AND n_seq > 1 THEN 4
+              WHEN n_uniprot <> n_seq THEN 5
+              ELSE 6 END AS case_no
+          FROM counts)
+        SELECT doc_id, case_no, n_pdb, n_uniprot, n_seq,
+          CASE WHEN case_no IN (1, 5) THEN (CASE WHEN n_pdb > 0 THEN 1 ELSE 0 END)
+               WHEN case_no IN (2, 4) THEN n_seq
+               ELSE n_uniprot END AS n_proteins,
+          CASE WHEN (CASE WHEN case_no IN (1, 5)
+                       THEN (CASE WHEN n_pdb > 0 THEN 1 ELSE 0 END)
+                       WHEN case_no IN (2, 4) THEN n_seq
+                       ELSE n_uniprot END) = 0 THEN NULL
+               WHEN case_no IN (1, 2) THEN 'Protein'
+               WHEN case_no = 5 THEN 'Unknown protein'
+               ELSE 'Protein P' || lpad(CAST(doc_id % 99999 AS VARCHAR), 5, '0')
+          END AS first_name
+        FROM cased ORDER BY doc_id"""),
+    ),
   )
 }

@@ -20,9 +20,9 @@ class CrawlParitySpec extends AnyFunSuite {
 
   private val repo = RepoConfig(seed = 42L, universe = 400,
     fileTypes = Seq("gro", "mdp"), pageSize = 20, maxHitsPerQuery = 100,
-    cursorPages = 6, gpcrmdCount = 30)
+    cursorPages = 6, gpcrmdCount = 30, mddbCount = 35)
   private val budget = Map("zenodo" -> 40, "figshare" -> 25, "osf" -> 30,
-    "nomad" -> 5, "gpcrmd" -> 20)
+    "nomad" -> 5, "gpcrmd" -> 20, "mddb" -> 15)
   private val maxRounds = 12
 
   private def cfg(root: String) = CrawlConfig(repo, budget, maxRounds, root,
@@ -69,6 +69,36 @@ class CrawlParitySpec extends AnyFunSuite {
       f.dataset_repository_name == "gpcrmd" && f.file_size_in_bytes.isEmpty))
     assert(oracle.filesClean.exists(f =>
       f.dataset_repository_name == "gpcrmd" && f.file_size_in_bytes.isDefined))
+    // MDDB/MDposit source: offset pages fetched, per-replica filenotes
+    // drained, replica-prefixed file names, 6-case molecule assembly
+    assert(oracle.docs.keys.exists(_.startsWith("mddb://projects/")))
+    assert(oracle.docs.keys.exists(_.startsWith("mddb://filenotes/")))
+    assert(oracle.files.exists(f => f.dataset_repository_name == "mddb" &&
+      f.file_name.startsWith("replica_")))
+    val mddbSims = oracle.datasets
+      .filter(_.dataset_repository_name == "mddb").flatMap(_.simulation)
+    assert(mddbSims.nonEmpty)
+    assert(mddbSims.exists(_.molecules.exists(m =>
+      m.molecule_type.contains("PROTEIN") && m.sequence.isDefined &&
+        m.external_identifiers.exists(e => e.database_name == "UNIPROT" &&
+          e.url.exists(_.contains("uniprot.org"))))))
+    assert(mddbSims.exists(_.molecules.exists(_.name == "Unknown protein")))
+    assert(mddbSims.exists(_.molecules.exists(m =>
+      m.molecule_type.contains("SOLVENT") &&
+        m.number_of_molecules.exists(_ > 0))))
+    assert(mddbSims.exists(_.molecules.exists(_.inchikey.isDefined)))
+    // OSF two-round closure: depth-3 node pages are fetched but never
+    // expand further (scrape_osf.py:493-494) — and the page-abort quirk
+    // (F4) truncates some search page's hit list (nLinks below the spans'
+    // raw node-link count for at least one search page)
+    assert(oracle.metrics.exists(m => m.getOrElse("depth_gated", 0L) > 0))
+    assert(oracle.log.filter(_.url.startsWith("osf://node/"))
+      .forall(_.depth <= 3))
+    val truncated = oracle.docs.exists { case (id, spans) =>
+      id.startsWith("osf://search/") &&
+        PageParser.parseableSpans(Doc(id, spans)).size < spans.size
+    }
+    assert(truncated)
   }
 
   test("crawl-order log matches the oracle exactly") {

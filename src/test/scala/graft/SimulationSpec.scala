@@ -59,6 +59,56 @@ class SimulationSpec extends AnyFunSuite {
       """{"simulation_temperatures":["hot"]}""").isLeft)
   }
 
+  test("6-case protein assembly (mddb.py:303-439)") {
+    import Validators.{extractProteins => ep}
+    val pdb = Seq(ExternalIdentifier("PDB", "1ABC",
+      Some("https://www.rcsb.org/structure/1ABC")))
+    // case 1: nothing → anonymous protein only when PDB-anchored
+    assert(ep(Seq.empty, Nil, Nil) === Seq.empty)
+    assert(ep(pdb, Nil, Nil).map(_.name) === Seq("Protein"))
+    // case 2: sequences only → one anonymous protein per sequence
+    val c2 = ep(pdb, Nil, Seq("MKV", "MKW"))
+    assert(c2.map(_.sequence) === Seq(Some("MKV"), Some("MKW")))
+    assert(c2.forall(_.name == "Protein"))
+    // case 3: accessions only → named, UniProt id first among identifiers
+    val c3 = ep(pdb, Seq("P12345"), Nil)
+    assert(c3.map(_.name) === Seq("Protein P12345"))
+    assert(c3.head.external_identifiers.head.database_name === "UNIPROT")
+    assert(c3.head.external_identifiers.head.url ===
+      Some("https://www.uniprot.org/uniprotkb/P12345"))
+    // case 4: ONE accession, many sequences → all share the accession
+    val c4 = ep(Seq.empty, Seq("P1"), Seq("A", "B", "C"))
+    assert(c4.size === 3 && c4.forall(_.name == "Protein P1"))
+    // case 5: cardinality mismatch → single Unknown protein iff PDB ids
+    assert(ep(Seq.empty, Seq("P1", "P2"), Seq("A", "B", "C")) === Seq.empty)
+    assert(ep(pdb, Seq("P1", "P2"), Seq("A", "B", "C")).map(_.name) ===
+      Seq("Unknown protein"))
+    // case 6: 1:1 zip
+    val c6 = ep(Seq.empty, Seq("P1", "noref"), Seq("A", "B"))
+    assert(c6.map(_.name) === Seq("Protein P1", "Unknown protein"))
+    assert(c6.map(_.sequence.get) === Seq("A", "B"))
+  }
+
+  test("parseMddbMeta: flat MDposit envelope (mddb.py:159-713)") {
+    val json = """{"PROGRAM":" gromacs ","VERSION":"2023.1",
+      "FF":["charmm36"],"WAT":"tip3p","PDBIDS":["1ABC"],
+      "REFERENCES":["P12345"],"PROTSEQ":[],"NUCLSEQ":["ACGT"],
+      "SOL":1200,"NA":14,"CL":0,"INCHIKEYS":["XYZ-KEY"],
+      "TIMESTEP":2,"TEMP":300,"mdAtoms":50000}"""
+    val sim = Validators.parseMddbMeta(json).toOption.get
+    assert(sim.software === Seq(Software("gromacs", Some("2023.1"))))
+    assert(sim.forcefields_models.map(_.name) === Seq("charmm36", "tip3p"))
+    // case 3 protein + nucleic + SOL/NA (CL=0 skipped) + inchikey molecule
+    assert(sim.molecules.map(_.name) === Seq("Protein P12345",
+      "Nucleic acid", "SOL", "NA", "Small molecule"))
+    assert(sim.molecules.last.inchikey === Some("XYZ-KEY"))
+    assert(sim.simulation_timesteps_in_fs === Seq(2.0))
+    assert(sim.simulation_temperatures_in_kelvin === Seq(300.0))
+    assert(sim.total_number_of_atoms === Some(50000L))
+    // non-positive timestep quarantines (shared simulation contract)
+    assert(Validators.parseMddbMeta("""{"TIMESTEP":-1}""").isLeft)
+  }
+
   test("validateDataset populates simulation from the raw json or quarantines") {
     val base = graft.crawl.PageParser
       .parseDatasets("nomad",
