@@ -19,6 +19,7 @@ object SparkEntry {
       operators.MultimodalOps.entries ++
       operators.FileParsers.entries ++
       operators.SimulationOps.entries ++
+      sources.NmrLipidsSource.entries ++
       operators.CrawlQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -90,7 +90,7 @@ object SyntheticRepo {
     * millions of times and the garbage throttles high-core-count runs). */
   @inline def hh(base: Long, a: Long): Long = mix(base ^ mix(a))
 
-  private def pos(x: Long, mod: Int): Int = {
+  def pos(x: Long, mod: Int): Int = {
     val m = (x % mod).toInt
     if (m < 0) m + mod else m
   }
@@ -585,6 +585,49 @@ object SyntheticRepo {
       FileEntry(name, s"dl://$host/$n/$name",
         1000L + pos(h(cfg, "fs", host, n, j), 5000000),
         f"${h(cfg, "md5", host, n, j)}%016x")
+    }
+  }
+
+  // ---- downloadable file bodies (the download stage's "network") ----------
+
+  /** Deterministic body of a downloadable file URL (`dl://...` or
+    * `zip://...` member): the same pure-function-of-(seed, url) contract as
+    * page fetches, so the download stage replays byte-identically at any
+    * parallelism. Formats follow the reference's parse targets: GROMACS
+    * `key = value` .mdp lines (scripts/parse_mdp_files.py) and fixed-width
+    * .gro atom blocks (scripts/parse_gro_files.py, columns 6-10 = residue
+    * name); other extensions get an opaque marker body.
+    */
+  def fileContent(cfg: RepoConfig, url: String): String = {
+    val base = h(cfg, "body", url)
+    val ext = {
+      val b = url.substring(url.lastIndexOf('/') + 1)
+      val i = b.lastIndexOf('.')
+      if (i < 0) "" else b.substring(i + 1)
+    }
+    ext match {
+      case "mdp" =>
+        val tc = Seq("no", "berendsen", "Nose-Hoover", "v-rescale",
+          "nose_hoover", "ANDERSEN")(pos(hh(base, 1), 6))
+        val pc = Seq("no", "Berendsen", "Parrinello-Rahman",
+          "c-rescale")(pos(hh(base, 2), 4))
+        val dup = if (pos(hh(base, 7), 5) == 0) "\ndt = 0.009" else ""
+        s"""; synthetic mdp $url
+           |integrator = ${if (pos(hh(base, 3), 2) == 0) "md" else "sd"}
+           |DT = 0.00${1 + pos(hh(base, 4), 4)}
+           |nsteps  =  ${1000L * (1 + pos(hh(base, 5), 9999))}
+           |tcoupl = $tc
+           |Pcoupl = $pc
+           |ref_t = ${280 + pos(hh(base, 6), 41)}$dup""".stripMargin
+      case "gro" =>
+        val residues = Seq("ALA", "DPPC", "SOL", "NA", "GLC", "DNA", "LYS", "POPC")
+        val n = 3 + pos(hh(base, 10), 5)
+        val atoms = (1 to n).map { i =>
+          val res = residues(pos(hh(base, 100L + i), residues.size))
+          f"$i%5d${res.padTo(5, ' ')}  C$i   $i   1.000   2.000   3.000"
+        }
+        (s"synthetic gro $url" +: f"$n%5d" +: atoms).mkString("\n")
+      case _ => f"binary:$ext%s:${hh(base, 99)}%016x"
     }
   }
 

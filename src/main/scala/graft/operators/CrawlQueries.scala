@@ -69,5 +69,30 @@ object CrawlQueries {
     QueryEntry("q_crawl_files_clean", (s, _) =>
       glacier(s).read(s, "files_clean").get
         .orderBy("round", "seqInRound", "ordinal")),
+    // download stage (scripts/download_files.py): pooch-cached bodies of
+    // the selected gro/mdp files (+ zip members), content projected to its
+    // length for the rows-only compare
+    QueryEntry("q_crawl_downloads", (s, _) =>
+      downloaded(s).read(s, "download_cache").get
+        .select(col("file_url"), col("dataset_id"), col("file_type"),
+          col("attempts"), length(col("content")).as("content_bytes"))
+        .orderBy("file_url")),
+    // parsed simulation parameters of the downloaded bodies
+    // (scripts/parse_mdp_files.py / parse_gro_files.py)
+    QueryEntry("q_crawl_mdp_params", (s, _) =>
+      downloaded(s).read(s, "mdp_params").get.orderBy("file_url")),
+    QueryEntry("q_crawl_gro_params", (s, _) =>
+      downloaded(s).read(s, "gro_params").get.orderBy("file_url")),
   )
+
+  /** The memoized crawl's Glacier with the download stage guaranteed run
+    * (idempotent: a cached store downloads nothing on re-entry). */
+  private def downloaded(s: SparkSession): graft.tables.Glacier =
+    synchronized {
+      val g = glacier(s)
+      if (g.read(s, "download_cache").isEmpty)
+        graft.crawl.DownloadStage.run(s, g, repo, Seq("gro", "mdp"),
+          withZipFiles = true)
+      g
+    }
 }

@@ -1,0 +1,130 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryEntry, Tables}
+
+/** NMRLipids Databank ingest (S15, reference
+  * `scripts/scrape_nmrlipids.py`): a RECURSIVE local-filesystem scan for
+  * `README.yaml` files under a Simulations tree (find_all_readmes, :127-131
+  * `rglob`), each parsed as flat `KEY: value` YAML into the 15-field record
+  * (FIELDS :60-76), numerics normalized to strings
+  * (normalize_to_string_or_none, :108-120), `ID` renamed `source_ID` and
+  * mandatory — a README without it fails validation and is dropped
+  * (:146-159 pydantic try/except).
+  *
+  * Spark-first shape: ONE `spark.read.text` with recursiveFileLookup +
+  * wholetext — the directory walk is the data source's own distributed
+  * file listing, not a driver-side glob — then pure regexp column
+  * extraction (codegen'd, no UDF). At 100 TB-scale trees the scan
+  * parallelizes over files; everything after is narrow.
+  */
+object NmrLipidsSource {
+
+  /** The reference's FIELDS list (scrape_nmrlipids.py:60-76), minus ID
+    * which becomes source_ID. */
+  val Fields: Seq[String] = Seq("DOI", "SOFTWARE", "PUBLICATION",
+    "AUTHORS_CONTACT", "TYPEOFSYSTEM", "SOFTWARE_VERSION", "FF", "FF_SOURCE",
+    "TRAJECTORY_SIZE", "TRJLENGTH", "TEMPERATURE", "NUMBER_OF_ATOMS",
+    "DATEOFRUNNING")
+
+  /** All README.yaml files under `root`, one row per file with its path
+    * and whole text. */
+  def scanReadmes(spark: SparkSession, root: String): DataFrame =
+    spark.read
+      .option("recursiveFileLookup", "true")
+      .option("wholetext", "true")
+      .text(root)
+      .select(input_file_name().as("path"), col("value").as("content"))
+      .filter(col("path").endsWith("/README.yaml"))
+
+  /** First `KEY: value` line of a flat YAML body → trimmed value, NULL when
+    * the key is absent (yaml.safe_load + dict.get(field, None)). */
+  def yamlField(content: Column, key: String): Column = {
+    val v = regexp_extract(content, s"(?m)^$key:[ \\t]*(.*?)[ \\t]*$$", 1)
+    when(regexp_like(content, lit(s"(?m)^$key:")), v)
+  }
+
+  /** Parse + validate scanned READMEs into NMRLipidsRecord rows
+    * (scrape_nmrlipids.py:134-159): every field a string-or-null, the
+    * mandatory trio injected, records without an ID dropped. */
+  def parseReadmes(scanned: DataFrame, crawlingDate: String): DataFrame = {
+    val cols = Seq(
+      col("path"),
+      lit("NMRLipids").as("source"),
+      yamlField(col("content"), "ID").as("source_ID"),
+      lit(crawlingDate).as("crawling_date"),
+      lit("CC-BY 4.0").as("licence"),
+    ) ++ Fields.map(f => yamlField(col("content"), f).as(f))
+    scanned.select(cols: _*).filter(col("source_ID").isNotNull)
+  }
+
+  def entries: Seq[QueryEntry] = Seq(
+    // flat-YAML field extraction as an oracle-checked scalar pipeline:
+    // README bodies synthesized per doc_id (optional fields genuinely
+    // absent on some rows), the same extraction semantics as parseReadmes
+    QueryEntry(
+      "q_yaml_parse",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents").select(col("doc_id"))
+        val sw = element_at(
+          array(lit("gromacs"), lit("namd"), lit("openmm")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+        val content = concat(
+          lit("# NMRLipids README\n"),
+          lit("ID: "), col("doc_id"), lit("\n"),
+          lit("DOI: 10.5281/zenodo."), pmod(col("doc_id"), lit(10000)), lit("\n"),
+          lit("SOFTWARE: "), sw, lit("\n"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit("TEMPERATURE: "), pmod(col("doc_id"), lit(40)) + 290,
+              lit("\n"))).otherwise(lit("")),
+          lit("NUMBER_OF_ATOMS: "), pmod(col("doc_id") * 31, lit(900000)) + 1000,
+          lit("\nTRJLENGTH: "), pmod(col("doc_id"), lit(500)) + 10)
+        val withC = d.withColumn("content", content)
+        withC.select(
+            col("doc_id"),
+            yamlField(col("content"), "ID").as("source_id"),
+            yamlField(col("content"), "SOFTWARE").as("software"),
+            yamlField(col("content"), "TEMPERATURE").as("temperature"),
+            yamlField(col("content"), "NUMBER_OF_ATOMS").as("number_of_atoms"),
+            yamlField(col("content"), "TRJLENGTH").as("trjlength"),
+            yamlField(col("content"), "FF").as("ff"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH src AS (
+          SELECT doc_id,
+            '# NMRLipids README' || chr(10) ||
+            'ID: ' || doc_id || chr(10) ||
+            'DOI: 10.5281/zenodo.' || (doc_id % 10000) || chr(10) ||
+            'SOFTWARE: ' || (CASE doc_id % 3 WHEN 0 THEN 'gromacs'
+              WHEN 1 THEN 'namd' ELSE 'openmm' END) || chr(10) ||
+            (CASE WHEN doc_id % 5 = 0
+              THEN 'TEMPERATURE: ' || (doc_id % 40 + 290) || chr(10)
+              ELSE '' END) ||
+            'NUMBER_OF_ATOMS: ' || ((doc_id * 31) % 900000 + 1000) || chr(10) ||
+            'TRJLENGTH: ' || (doc_id % 500 + 10) AS content
+          FROM documents)
+        SELECT doc_id,
+          CASE WHEN regexp_matches(content, '(?m)^ID:')
+            THEN trim(regexp_extract(content, '(?m)^ID:[ \t]*(.*?)[ \t]*$', 1))
+            END AS source_id,
+          CASE WHEN regexp_matches(content, '(?m)^SOFTWARE:')
+            THEN trim(regexp_extract(content, '(?m)^SOFTWARE:[ \t]*(.*?)[ \t]*$', 1))
+            END AS software,
+          CASE WHEN regexp_matches(content, '(?m)^TEMPERATURE:')
+            THEN trim(regexp_extract(content, '(?m)^TEMPERATURE:[ \t]*(.*?)[ \t]*$', 1))
+            END AS temperature,
+          CASE WHEN regexp_matches(content, '(?m)^NUMBER_OF_ATOMS:')
+            THEN trim(regexp_extract(content, '(?m)^NUMBER_OF_ATOMS:[ \t]*(.*?)[ \t]*$', 1))
+            END AS number_of_atoms,
+          CASE WHEN regexp_matches(content, '(?m)^TRJLENGTH:')
+            THEN trim(regexp_extract(content, '(?m)^TRJLENGTH:[ \t]*(.*?)[ \t]*$', 1))
+            END AS trjlength,
+          CASE WHEN regexp_matches(content, '(?m)^FF:')
+            THEN trim(regexp_extract(content, '(?m)^FF:[ \t]*(.*?)[ \t]*$', 1))
+            END AS ff
+        FROM src ORDER BY doc_id"""),
+    ),
+  )
+}
