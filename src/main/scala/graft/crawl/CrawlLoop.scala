@@ -78,6 +78,7 @@ object CrawlLoop {
   /** Run (or resume) the crawl to completion; returns the Glacier handle. */
   def run(spark: SparkSession, cfg: CrawlConfig): Glacier = {
     import spark.implicits._
+    val tStart = System.nanoTime()
     val g = new Glacier(cfg.glacierRoot)
 
     // ---- bootstrap or resume ----------------------------------------------
@@ -111,6 +112,8 @@ object CrawlLoop {
         1
       }
 
+    if (sys.env.contains("SPARK_GRAFT_CRAWL_VERBOSE"))
+      System.err.println(f"[crawl] bootstrap/resume done at ${(System.nanoTime() - tStart) / 1e9}%.1fs")
     var pending = g.rowCount("frontier")
     while (pending > 0 && round <= cfg.maxRounds) {
       val t0 = System.nanoTime()
@@ -132,8 +135,12 @@ object CrawlLoop {
     }
     // post-pass once the crawl is done (idempotent on resume: skipped when
     // the current snapshot already is the post-pass)
-    if (!g.currentManifest.exists(_.note == "post-pass"))
+    if (!g.currentManifest.exists(_.note == "post-pass")) {
+      val tp = System.nanoTime()
       postPass(spark, g, cfg)
+      if (sys.env.contains("SPARK_GRAFT_CRAWL_VERBOSE"))
+        System.err.println(f"[crawl] post-pass ${(System.nanoTime() - tp) / 1e9}%.1fs")
+    }
     g
   }
 
@@ -353,8 +360,12 @@ object CrawlLoop {
     // Glacier.compact folds deltas back to one row per shard. Rewriting the
     // merged state every round (round 1 design) re-reads and re-writes the
     // full ~12 GB filter set per round at the 10^10-URL design point.
+    val obsBloom = Observation(s"bloom_r$round")
     val deltaBloom = SeenSet.buildShards(newSeenUrls, cfg.bloomShards,
       cfg.bloomExpectedPerShard, cfg.bloomFpp)
+      // rows ride the write like every other table — without a thunk the
+      // commit fires a read-back count job for this table every round
+      .observe(obsBloom, count(lit(1)).as("n"))
 
     def m(o: Observation, k: String): Long =
       o.get(k).asInstanceOf[Number].longValue()
@@ -398,7 +409,8 @@ object CrawlLoop {
         Some(() => m(obsParsed, "fV")), stage = 2),
       g.TableWrite("seen", bounded(newSeenUrls), g.Append,
         Some(() => m(obsNew, "n")), stage = 2),
-      g.TableWrite("bloom", bounded(deltaBloom), g.Append, stage = 2),
+      g.TableWrite("bloom", bounded(deltaBloom), g.Append,
+        Some(() => m(obsBloom, "n")), stage = 2),
     ) ++ (if (cfg.repo.gpcrmdCount > 0) Seq(
       g.TableWrite("head_sizes", headSizes, g.Append,
         Some(() => m(obsParsed, "hV")), stage = 2)) else Seq.empty),

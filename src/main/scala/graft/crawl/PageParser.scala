@@ -68,12 +68,19 @@ object PageParser {
     * graft.functions.TextFunctions). Runs per record inside the parse
     * flatMap — part of the measured parse cost.
     */
+  // precompiled — String.replaceAll compiles its pattern on EVERY call,
+  // and cleanText runs once per scraped record in the parse hot path
+  private val TagRe = java.util.regex.Pattern.compile("<[^>]*>")
+  private val CtlRe = java.util.regex.Pattern.compile("[\\n\\r\\t]")
+  private val SpcRe = java.util.regex.Pattern.compile(" {2,}")
+
   def cleanText(s: String): String = {
-    val noTags = s.replaceAll("<[^>]*>", "")
+    val noTags = TagRe.matcher(s).replaceAll("")
     val decoded = noTags.replace("&amp;", "&").replace("&lt;", "<")
       .replace("&gt;", ">").replace("&quot;", "\"").replace("&#39;", "'")
       .replace("&nbsp;", " ")
-    decoded.replaceAll("[\\n\\r\\t]", " ").replaceAll(" {2,}", " ").trim
+    SpcRe.matcher(CtlRe.matcher(decoded).replaceAll(" "))
+      .replaceAll(" ").trim
   }
 
   /** Ingest-time dedup sketches (MinHash + SimHash + token count) over a
@@ -85,23 +92,40 @@ object PageParser {
     */
   val MinhashPerms = 16
 
+  /** `(p + ":").getBytes` for each permutation, built once — streaming
+    * `update(prefix); update(shingle)` produces the exact md5 of the
+    * concatenated string, without allocating 16 concat strings + byte
+    * arrays per shingle (the parse stage's dominant garbage producer;
+    * measured as the GC bottleneck of 32-thread crawl rounds). */
+  private val PermPrefix: Array[Array[Byte]] =
+    Array.tabulate(MinhashPerms)(p =>
+      (p + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   def sketch(text: String): (Seq[Long], Long, Long) = {
     val words = text.split(' ')
     val md = java.security.MessageDigest.getInstance("MD5")
-    def head8(d: Array[Byte]): Long = {
+    val buf = new Array[Byte](16) // reused digest output
+    def head8(): Long = {
       var v = 0L; var i = 0
-      while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+      while (i < 8) { v = (v << 8) | (buf(i) & 0xffL); i += 1 }
       v
     }
     val mins = Array.fill(MinhashPerms)(-1L) // unsigned max
+    val sb = new java.lang.StringBuilder(64)
     var i = 0
     while (i + 2 < words.length) {
-      val shingle = words(i) + " " + words(i + 1) + " " + words(i + 2)
+      sb.setLength(0)
+      sb.append(words(i)).append(' ').append(words(i + 1)).append(' ')
+        .append(words(i + 2))
+      val shingleBytes = sb.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       var p = 0
       while (p < MinhashPerms) {
         md.reset()
-        val v = head8(md.digest((p + ":" + shingle)
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        md.update(PermPrefix(p))
+        md.update(shingleBytes)
+        md.digest(buf, 0, 16)
+        val v = head8()
         if (java.lang.Long.compareUnsigned(v, mins(p)) < 0) mins(p) = v
         p += 1
       }
@@ -112,8 +136,9 @@ object PageParser {
     var w = 0
     while (w < words.length) {
       md.reset()
-      val v = head8(md.digest(words(w)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      md.update(words(w).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.digest(buf, 0, 16)
+      val v = head8()
       var b = 0
       while (b < 64) {
         if (((v >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

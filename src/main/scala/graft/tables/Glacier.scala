@@ -114,16 +114,20 @@ final class Glacier(val root: String) {
     val newId = parent.map(_.snapshotId + 1).getOrElse(1L)
 
     val verbose = sys.env.contains("SPARK_GRAFT_COMMIT_VERBOSE")
-    // Independent tables write CONCURRENTLY: each is its own Spark job, and
-    // a lone small job cannot fill a large cluster — concurrent submission
-    // does (standard multi-job driver pattern; Spark block locks make
-    // shared-cache materialization race-safe). Writes sharing an UNCACHED
-    // upstream chain must not race to build it — callers express that with
-    // `TableWrite.stage`: stages run in ascending order, concurrently
-    // within a stage. Order-sensitive effects (manifest, row-count thunks)
-    // happen after the final barrier.
+    // Table writes run SERIALLY by default: each write is one Spark job
+    // that already parallelizes across the cluster, and measurement showed
+    // concurrent submission in a shared executor is an anti-optimization —
+    // two heavy jobs racing for the same task slots + cache blocks ran the
+    // same round 4-5× slower at 32 local cores (140 s vs 26 s round-1
+    // wall; see BENCH.md round 2). On a real multi-executor cluster where
+    // single small writes genuinely under-fill the cluster, set
+    // SPARK_GRAFT_COMMIT_PAR>1 to overlap them — `TableWrite.stage`
+    // ordering (ascending stages, concurrency only within a stage) still
+    // protects writes that share an uncached upstream chain. Order-
+    // sensitive effects (manifest, row-count thunks) happen after the
+    // final barrier either way.
     locally {
-      val par = sys.env.getOrElse("SPARK_GRAFT_COMMIT_PAR", "8").toInt
+      val par = sys.env.getOrElse("SPARK_GRAFT_COMMIT_PAR", "1").toInt
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.max(1, math.min(par, writes.size)))
       try {
