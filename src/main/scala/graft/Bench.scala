@@ -13,8 +13,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // shuffle/spill on tmpfs when available — same reasoning as CrawlBench:
+    // measure the engine, not one shared local disk
+    val localBase = Option("/dev/shm").filter(p =>
+      java.nio.file.Files.isWritable(java.nio.file.Paths.get(p)))
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val localDir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(localBase), "bench-local").toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -39,11 +47,18 @@ object Bench {
           hostBudget = Map("zenodo" -> 16000, "figshare" -> 12000,
             "osf" -> 12000, "nomad" -> 50, "gpcrmd" -> 2000, "mddb" -> 3000),
           maxRounds = 5,
-          glacierRoot = java.nio.file.Files
-            .createTempDirectory("bench-crawl").toString,
+          glacierRoot = java.nio.file.Files.createTempDirectory(
+            java.nio.file.Paths.get(localBase), "bench-crawl").toString,
           salts = 8, bloomShards = 64, bloomExpectedPerShard = 1L << 16)
+        // AQE off for the BSP loop only (runtime-settable conf): a crawl
+        // round is many small known-shape stages where per-stage runtime
+        // re-planning is pure latency; the analytical queries above keep
+        // the session default. Results identical either way (BENCH.md).
+        val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         val t0 = System.nanoTime()
-        val g = crawl.CrawlLoop.run(spark, cfg)
+        val g = try crawl.CrawlLoop.run(spark, cfg)
+          finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
         val secs = (System.nanoTime() - t0) / 1e9
         val urls = g.rowCount("crawl_log")
         s""","crawl_urls_per_sec":${urls / secs},"crawl_urls":$urls,"crawl_seconds":$secs"""
