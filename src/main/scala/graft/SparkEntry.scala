@@ -19,6 +19,7 @@ object SparkEntry {
       operators.MultimodalOps.entries ++
       operators.FileParsers.entries ++
       operators.SimulationOps.entries ++
+      operators.AnalyzeOps.entries ++
       sources.NmrLipidsSource.entries ++
       operators.CrawlQueries.entries
 

@@ -124,4 +124,27 @@ class TextFunctionsSpec extends AnyFunSuite {
       === "2023-06-01T10:30:00")
     assert(eval1(normalizeDate(col("v")), "2023-06-01") === "2023-06-01T00:00:00")
   }
+
+  test("ext classification: declaration-order tie-breaks (analyze.py:256-280)") {
+    import org.apache.spark.sql.functions.col
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val rows = Seq("top", "crd", "TPR", "nc", "weird", "pdb")
+      .toDF("ext")
+      .select(col("ext"),
+        graft.operators.AnalyzeOps.extCategory(col("ext")).as("cat"),
+        graft.operators.AnalyzeOps.extEngine(col("ext")).as("engine"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    // "top" is in topology AND gromacs AND amber: earlier declaration wins
+    assert(rows("top") === ("topology", "gromacs"))
+    // "crd" is coordinate; engine-wise namd (declared before amber sets)
+    assert(rows("crd") === ("coordinate", "namd"))
+    // case-insensitive
+    assert(rows("TPR") === ("coordinate", "gromacs"))
+    // "nc" is amber trajectory
+    assert(rows("nc") === ("trajectory", "amber"))
+    assert(rows("weird") === ("other", "other"))
+    assert(rows("pdb") === ("coordinate", "other"))
+  }
 }
