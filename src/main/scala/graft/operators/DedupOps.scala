@@ -282,5 +282,90 @@ object DedupOps {
             ORDER BY doc_a, doc_b"""
       },
     ),
+    // ---- near-dup CLUSTERS: connected components over LSH pairs -----------
+    // A training-data dedup pipeline keeps ONE canonical document per
+    // near-dup cluster, and clusters are the transitive closure of the
+    // pairwise candidates. Min-label propagation: every doc starts labeled
+    // with its own id; each iteration every doc takes the min label among
+    // itself and its neighbors; converges in O(cluster diameter) rounds —
+    // near-dup clusters are shallow (dup chains, not paths), so 2-4
+    // iterations in practice. Each iteration is one join + one partial-agg
+    // shuffle; at 100 TB the alternating large-star/small-star variant of
+    // the same propagation bounds the per-iteration shuffle volume, and the
+    // convergence check rides the iteration's own aggregation.
+    QueryEntry(
+      "q_dedup_clusters",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = minhashCandidatePairs(docs, "text", "doc_id")
+        val edges = pairs
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionByName(pairs
+            .select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .persist()
+        var labels = docs.select(col("doc_id").as("id"),
+          col("doc_id").as("component"))
+        val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
+        var changed = 1L
+        while (changed > 0) {
+          val neighborMin = edges
+            .join(labels, edges("dst") === labels("id"))
+            .groupBy(col("src")).agg(min(col("component")).as("nmin"))
+          val next = labels
+            .join(neighborMin, labels("id") === neighborMin("src"), "left")
+            .select(col("id"),
+              least(col("component"),
+                coalesce(col("nmin"), col("component"))).as("component"),
+              (coalesce(col("nmin"), col("component")) < col("component"))
+                .as("ch"))
+            .persist()
+          persisted += next
+          changed = next.filter(col("ch")).count()
+          // persist() also truncates the effective lineage per iteration —
+          // the convergence count materializes each generation before the
+          // next builds on it
+          labels = next.drop("ch")
+        }
+        // release everything but the converged generation (the caller's
+        // action reads labels through the final cached iteration)
+        edges.unpersist(blocking = false)
+        persisted.dropRight(1).foreach(_.unpersist(blocking = false))
+        labels.select(col("id").as("doc_id"), col("component"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val sh = sqlShingles("text")
+        val sigCols = (0 until NumHashes)
+          .map(i => s"${sqlMinhashSig(sh, i)} AS sig_$i").mkString(", ")
+        val bandCols = (0 until NumHashes / BandRows).map { b =>
+          val parts = (0 until BandRows).map(r => s"sig_${b * BandRows + r}")
+          s"md5(${parts.mkString(" || ")}) AS band_$b"
+        }.mkString(", ")
+        val bandUnion = (0 until NumHashes / BandRows)
+          .map(b => s"SELECT doc_id AS doc, $b AS band_idx, band_$b AS band_hash FROM sigs")
+          .mkString(" UNION ALL ")
+        // transitive closure as a recursive CTE: min reachable id = the
+        // component representative (UNION dedups, so the recursion is
+        // bounded by |component|² rows)
+        s"""WITH RECURSIVE raw AS (
+              SELECT doc_id, $sigCols FROM documents
+              WHERE len(string_split(text,' ')) >= $ShingleSize),
+            sigs AS (SELECT doc_id, $bandCols FROM raw),
+            bands AS ($bandUnion),
+            cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+               AND a.doc < b.doc),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                      UNION SELECT doc_b, doc_a FROM cand),
+            reach(id, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.src, reach.r FROM edges e
+              JOIN reach ON reach.id = e.dst)
+            SELECT id AS doc_id, min(r) AS component
+            FROM reach GROUP BY id ORDER BY doc_id"""
+      },
+    ),
   )
 }
