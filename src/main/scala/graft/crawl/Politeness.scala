@@ -21,11 +21,17 @@ object Politeness {
 
   final case class HostPolicy(ratePerMinute: Int, hourlyCap: Option[Int] = None)
 
-  /** The reference repositories' published envelopes. */
+  /** The reference repositories' published/observed envelopes. */
   val referencePolicies: Map[String, HostPolicy] = Map(
     "zenodo" -> HostPolicy(100, hourlyCap = Some(5000)),
     "figshare" -> HostPolicy(60),
     "osf" -> HostPolicy(120),
+    // NOMAD + MDposit: 0.2 s delay before every page request
+    // (nomad.py:92,131; mddb.py:103,123) → 300/min
+    "nomad" -> HostPolicy(300),
+    "mddb" -> HostPolicy(300),
+    // GPCRmd: 0.1 s sleep per request (scripts/scrape_gpcrmd.py:156,480)
+    "gpcrmd" -> HostPolicy(600),
   )
 
   /** Tokens each host may spend in one round of `roundMinutes` simulated

@@ -297,7 +297,9 @@ object DedupOps {
       "q_dedup_clusters",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val pairs = minhashCandidatePairs(docs, "text", "doc_id")
+        // cached BEFORE the symmetric union — both union branches read the
+        // signature pipeline from the cache instead of recomputing it
+        val pairs = minhashCandidatePairs(docs, "text", "doc_id").persist()
         val edges = pairs
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .unionByName(pairs
@@ -328,6 +330,7 @@ object DedupOps {
         }
         // release everything but the converged generation (the caller's
         // action reads labels through the final cached iteration)
+        pairs.unpersist(blocking = false)
         edges.unpersist(blocking = false)
         persisted.dropRight(1).foreach(_.unpersist(blocking = false))
         labels.select(col("id").as("doc_id"), col("component"))
