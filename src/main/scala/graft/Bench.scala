@@ -20,6 +20,7 @@ object Bench {
       .getOrElse(System.getProperty("java.io.tmpdir"))
     val localDir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(localBase), "bench-local").toString
+    BenchDirs.deleteOnExit(localDir)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.local.dir", localDir)
@@ -47,8 +48,9 @@ object Bench {
           hostBudget = Map("zenodo" -> 16000, "figshare" -> 12000,
             "osf" -> 12000, "nomad" -> 50, "gpcrmd" -> 2000, "mddb" -> 3000),
           maxRounds = 5,
-          glacierRoot = java.nio.file.Files.createTempDirectory(
-            java.nio.file.Paths.get(localBase), "bench-crawl").toString,
+          glacierRoot = BenchDirs.deleteOnExit(
+            java.nio.file.Files.createTempDirectory(
+              java.nio.file.Paths.get(localBase), "bench-crawl").toString),
           salts = 8, bloomShards = 64, bloomExpectedPerShard = 1L << 16)
         // AQE off for the BSP loop only (runtime-settable conf): a crawl
         // round is many small known-shape stages where per-stage runtime

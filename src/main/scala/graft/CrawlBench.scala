@@ -34,10 +34,10 @@ object CrawlBench {
       .orElse(Option("/dev/shm").filter(p =>
         java.nio.file.Files.isWritable(java.nio.file.Paths.get(p))))
       .getOrElse(System.getProperty("java.io.tmpdir"))
-    val root = Files.createTempDirectory(
-      java.nio.file.Paths.get(benchBase), s"crawl-bench-$cpus").toString
-    val localDir = Files.createTempDirectory(
-      java.nio.file.Paths.get(benchBase), s"spark-local-$cpus").toString
+    val root = BenchDirs.deleteOnExit(Files.createTempDirectory(
+      java.nio.file.Paths.get(benchBase), s"crawl-bench-$cpus").toString)
+    val localDir = BenchDirs.deleteOnExit(Files.createTempDirectory(
+      java.nio.file.Paths.get(benchBase), s"spark-local-$cpus").toString)
     val spark = SparkSession.builder()
       .config("spark.local.dir", localDir)
       .master(s"local[$cpus]")

@@ -158,7 +158,12 @@ object DownloadStage {
         .observe(obsExtract, count(lit(1)).as("n")).toDF()
     }
 
+    // persisted: the commit runs download_cache / mdp_params / gro_params
+    // as SEPARATE write actions — without the cache each would re-execute
+    // the fetch pipeline, tripling the downloads a run performs (the exact
+    // thing the pooch-cache contract forbids)
     val delta = fetched.toDF().unionByName(extracted)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- parse tables over the FULL store (old cache + this delta) --------
     val store = cache match {
@@ -183,25 +188,17 @@ object DownloadStage {
       "dl_extracted" -> m(obsExtract, "n"),
       "dl_attempts" -> m(obsFetch, "attempts"),
     ), note = "download")
+    delta.unpersist(blocking = false)
     g.currentManifest.get.metrics.filter(_._1.startsWith("dl_"))
   }
 
   /** .mdp bodies → parameter rows (scripts/parse_mdp_files.py semantics via
     * the same column functions as the oracle-checked `q_mdp_parse`:
     * last-match-wins case-insensitive `key = value`, coupling tables). */
-  def parseMdpParams(store: DataFrame): DataFrame = {
-    val c = col("content")
+  def parseMdpParams(store: DataFrame): DataFrame =
     store.filter(col("file_type") === "mdp").select(
-      col("file_url"), col("dataset_id"), col("file_name"),
-      FileParsers.mdpField(c, "dt").cast("double").as("dt"),
-      FileParsers.mdpField(c, "nsteps").cast("long").as("nsteps"),
-      FileParsers.mdpField(c, "ref[-_ ]?t").cast("double").as("temperature"),
-      FileParsers.normalizeCoupling(FileParsers.mdpField(c, "tcoupl"),
-        FileParsers.thermostatTable).as("thermostat"),
-      FileParsers.normalizeCoupling(FileParsers.mdpField(c, "pcoupl"),
-        FileParsers.barostatTable).as("barostat"),
-      FileParsers.mdpField(c, "integrator").as("integrator"))
-  }
+      Seq(col("file_url"), col("dataset_id"), col("file_name")) ++
+        FileParsers.mdpParamColumns(col("content")): _*)
 
   /** .gro bodies → structure rows (scripts/parse_gro_files.py semantics:
     * fixed-width residue names at columns 6-10, class sets). */

@@ -295,7 +295,53 @@ object DedupOps {
     // convergence check rides the iteration's own aggregation.
     QueryEntry(
       "q_dedup_clusters",
-      (s, dir) => {
+      (s, dir) => clustersMemo.synchronized {
+        clustersMemo.getOrElseUpdate((s, dir), computeClusters(s, dir))
+      },
+      Some {
+        val sh = sqlShingles("text")
+        val sigCols = (0 until NumHashes)
+          .map(i => s"${sqlMinhashSig(sh, i)} AS sig_$i").mkString(", ")
+        val bandCols = (0 until NumHashes / BandRows).map { b =>
+          val parts = (0 until BandRows).map(r => s"sig_${b * BandRows + r}")
+          s"md5(${parts.mkString(" || ")}) AS band_$b"
+        }.mkString(", ")
+        val bandUnion = (0 until NumHashes / BandRows)
+          .map(b => s"SELECT doc_id AS doc, $b AS band_idx, band_$b AS band_hash FROM sigs")
+          .mkString(" UNION ALL ")
+        // transitive closure as a recursive CTE: min reachable id = the
+        // component representative (UNION dedups, so the recursion is
+        // bounded by |component|² rows)
+        s"""WITH RECURSIVE raw AS (
+              SELECT doc_id, $sigCols FROM documents
+              WHERE len(string_split(text,' ')) >= $ShingleSize),
+            sigs AS (SELECT doc_id, $bandCols FROM raw),
+            bands AS ($bandUnion),
+            cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+               AND a.doc < b.doc),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                      UNION SELECT doc_b, doc_a FROM cand),
+            reach(id, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.src, reach.r FROM edges e
+              JOIN reach ON reach.id = e.dst)
+            SELECT id AS doc_id, min(r) AS component
+            FROM reach GROUP BY id ORDER BY doc_id"""
+      },
+    ),
+  )
+
+  /** The converged generation stays cached (the returned plan reads
+    * through it); memoizing per (session, sfDir) bounds that to ONE cached
+    * labels table per input instead of one per invocation. */
+  private val clustersMemo =
+    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  private def computeClusters(s: org.apache.spark.sql.SparkSession,
+                              dir: String): DataFrame = {
         val docs = t(s, dir, "documents")
         // cached BEFORE the symmetric union — both union branches read the
         // signature pipeline from the cache instead of recomputing it
@@ -335,40 +381,5 @@ object DedupOps {
         persisted.dropRight(1).foreach(_.unpersist(blocking = false))
         labels.select(col("id").as("doc_id"), col("component"))
           .orderBy("doc_id")
-      },
-      Some {
-        val sh = sqlShingles("text")
-        val sigCols = (0 until NumHashes)
-          .map(i => s"${sqlMinhashSig(sh, i)} AS sig_$i").mkString(", ")
-        val bandCols = (0 until NumHashes / BandRows).map { b =>
-          val parts = (0 until BandRows).map(r => s"sig_${b * BandRows + r}")
-          s"md5(${parts.mkString(" || ")}) AS band_$b"
-        }.mkString(", ")
-        val bandUnion = (0 until NumHashes / BandRows)
-          .map(b => s"SELECT doc_id AS doc, $b AS band_idx, band_$b AS band_hash FROM sigs")
-          .mkString(" UNION ALL ")
-        // transitive closure as a recursive CTE: min reachable id = the
-        // component representative (UNION dedups, so the recursion is
-        // bounded by |component|² rows)
-        s"""WITH RECURSIVE raw AS (
-              SELECT doc_id, $sigCols FROM documents
-              WHERE len(string_split(text,' ')) >= $ShingleSize),
-            sigs AS (SELECT doc_id, $bandCols FROM raw),
-            bands AS ($bandUnion),
-            cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-              FROM bands a JOIN bands b
-                ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-               AND a.doc < b.doc),
-            edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
-                      UNION SELECT doc_b, doc_a FROM cand),
-            reach(id, r) AS (
-              SELECT doc_id, doc_id FROM documents
-              UNION
-              SELECT e.src, reach.r FROM edges e
-              JOIN reach ON reach.id = e.dst)
-            SELECT id AS doc_id, min(r) AS component
-            FROM reach GROUP BY id ORDER BY doc_id"""
-      },
-    ),
-  )
+  }
 }

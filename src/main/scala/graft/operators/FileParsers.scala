@@ -88,6 +88,18 @@ object FileParsers {
     "no" -> "no", "berendsen" -> "Berendsen", "crescale" -> "C-rescale",
     "parrinellorahman" -> "Parrinello-Rahman", "mttk" -> "MTTK")
 
+  /** The six mdp parameter columns over a content column — the ONE
+    * definition shared by the oracle-checked `q_mdp_parse` and the
+    * download stage's `mdp_params` table (divergence between the two
+    * would silently un-verify the stage). */
+  def mdpParamColumns(c: Column): Seq[Column] = Seq(
+    mdpField(c, "dt").cast("double").as("dt"),
+    mdpField(c, "nsteps").cast("long").as("nsteps"),
+    mdpField(c, "ref[-_ ]?t").cast("double").as("temperature"),
+    normalizeCoupling(mdpField(c, "tcoupl"), thermostatTable).as("thermostat"),
+    normalizeCoupling(mdpField(c, "pcoupl"), barostatTable).as("barostat"),
+    mdpField(c, "integrator").as("integrator"))
+
   // ---- gro synthesis + classification --------------------------------------
   private val residues =
     Seq("ALA", "DPPC", "SOL", "NA", "GLC", "DNA", "LYS", "POPC")
@@ -137,16 +149,7 @@ object FileParsers {
       "q_mdp_parse",
       (s, dir) => {
         val withContent = t(s, dir, "documents").select(col("doc_id"), mdpContent.as("content"))
-        withContent.select(
-            col("doc_id"),
-            mdpField(col("content"), "dt").cast("double").as("dt"),
-            mdpField(col("content"), "nsteps").cast("long").as("nsteps"),
-            mdpField(col("content"), "ref[-_ ]?t").cast("double").as("temperature"),
-            normalizeCoupling(mdpField(col("content"), "tcoupl"), thermostatTable)
-              .as("thermostat"),
-            normalizeCoupling(mdpField(col("content"), "pcoupl"), barostatTable)
-              .as("barostat"),
-            mdpField(col("content"), "integrator").as("integrator"))
+        withContent.select(col("doc_id") +: mdpParamColumns(col("content")): _*)
           .orderBy("doc_id")
       },
       Some(s"""WITH m AS ($sqlMdp)

@@ -34,6 +34,11 @@ object NmrLipidsSource {
   def scanReadmes(spark: SparkSession, root: String): DataFrame =
     spark.read
       .option("recursiveFileLookup", "true")
+      // prune at LISTING time — a real Simulations tree keeps multi-GB
+      // trajectories next to the READMEs, and a post-read filter would
+      // wholetext-load every one of them (a >2 GB file doesn't even fit a
+      // single wholetext row)
+      .option("pathGlobFilter", "README.yaml")
       .option("wholetext", "true")
       .text(root)
       .select(input_file_name().as("path"), col("value").as("content"))
@@ -57,7 +62,11 @@ object NmrLipidsSource {
       lit(crawlingDate).as("crawling_date"),
       lit("CC-BY 4.0").as("licence"),
     ) ++ Fields.map(f => yamlField(col("content"), f).as(f))
-    scanned.select(cols: _*).filter(col("source_ID").isNotNull)
+    // an `ID:` line with no value parses to "" — yaml.safe_load gives the
+    // reference None there, and the mandatory-ID validation drops the
+    // record (scrape_nmrlipids.py:146-159); match that
+    scanned.select(cols: _*)
+      .filter(col("source_ID").isNotNull && col("source_ID") =!= "")
   }
 
   def entries: Seq[QueryEntry] = Seq(
