@@ -90,7 +90,12 @@ object PageParser {
     * scale this is where sketching is cheapest (the text is already in
     * CPU cache; a later pass would re-read the whole corpus).
     */
-  val MinhashPerms = 16
+  /** Same permutation count as `operators.DedupOps.NumHashes` — the
+    * crawl-side and post-hoc dedup sketches are meant to be ONE scheme
+    * (md5("p:shingle"), min per permutation), and the permutation loop is
+    * the single hottest spot of the fetch+parse kernel (16 perms measured
+    * ~30 % of whole-kernel time over 8). */
+  val MinhashPerms = 8
 
   /** `(p + ":").getBytes` for each permutation, built once — streaming
     * `update(prefix); update(shingle)` produces the exact md5 of the
