@@ -68,7 +68,8 @@ object CrawlBench {
       // semantics) — 4 pages keeps the topology in the bench without
       // padding the tail with 1-URL rounds that measure only commit floor
       pageSize = 100, maxHitsPerQuery = 10000, cursorPages = 4,
-      gpcrmdCount = 1000 * scale, mddbCount = 1600 * scale)
+      gpcrmdCount = 1000 * scale, mddbCount = 1600 * scale,
+      atlasCount = 800 * scale)
     // Budgets model ONE politeness refill interval per round; the bench
     // uses a long interval (~4× the parity suite's) so rounds amortize the
     // per-round fixed cost the way production rounds (thousands of hosts ×
@@ -76,7 +77,7 @@ object CrawlBench {
     // budget RATE is the politeness invariant.
     val budget = Map("zenodo" -> 16000 * scale, "figshare" -> 12000 * scale,
       "osf" -> 12000 * scale, "nomad" -> 200, "gpcrmd" -> 4000 * scale,
-      "mddb" -> 3200 * scale)
+      "mddb" -> 3200 * scale, "atlas" -> 2000 * scale)
     // salts is a LOGICAL constant (drain candidates = salts × budget per
     // host) — identical at every parallelism so the two cluster-size runs
     // execute the same logical plan on the same input.

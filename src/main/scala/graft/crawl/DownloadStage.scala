@@ -140,11 +140,16 @@ object DownloadStage {
           col("dataset_id_in_repository").as("dataset_id"),
           col("file_type"))
         .dropDuplicates("file_url")
+      // same cache key as the direct-file path — (file_url, file_md5) — so
+      // an archive member whose md5 changed re-extracts exactly like a
+      // direct file re-downloads (divergent keys let one path append dup
+      // urls the other path would have skipped)
       val memberCached = cache match {
         case None => members
         case Some(c) => members.join(
-          c.select(col("file_url").as("__curl")),
-          col("file_url") === col("__curl"), "left_anti")
+          c.select(col("file_url").as("__curl"), col("file_md5").as("__cmd5")),
+          col("file_url") === col("__curl") && col("file_md5") === col("__cmd5"),
+          "left_anti")
       }
       memberCached
         .repartition(spark.sparkContext.defaultParallelism, xxhash64(col("file_url")))
@@ -166,9 +171,21 @@ object DownloadStage {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- parse tables over the FULL store (old cache + this delta) --------
+    // Pooch OVERWRITES a changed file in place (download_files.py:168-175);
+    // the append-only cache table instead accretes a second row for a url
+    // whose md5 changed. Dedupe on file_url keeping the LATEST generation
+    // (this delta over the old cache) so the parse tables see exactly one
+    // body per file, like the pooch store on disk.
     val store = cache match {
       case None    => delta.select(cacheCols: _*)
-      case Some(c) => c.select(cacheCols: _*).unionByName(delta.select(cacheCols: _*))
+      case Some(c) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("file_url"))
+          .orderBy(col("__gen").desc, col("file_md5").desc)
+        c.select(cacheCols: _*).withColumn("__gen", lit(0))
+          .unionByName(delta.select(cacheCols: _*).withColumn("__gen", lit(1)))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__gen", "__rn")
     }
     val mdp = parseMdpParams(store)
     val gro = parseGroParams(store)

@@ -17,7 +17,7 @@ object PageParser {
   /** Crawlable link schemes; everything else (thumb://, dl://, zip://) is a
     * terminal media reference, kept in the doc but never fetched. */
   private val Crawlable = Set("zenodo", "figshare", "osf", "nomad", "gpcrmd",
-    "mddb")
+    "mddb", "atlas")
 
   private def kindOf(url: String): String = {
     val path = url.dropWhile(_ != ':').drop(3)
@@ -31,6 +31,7 @@ object PageParser {
                                          // chain is latency-critical:
                                          // 1 page/round)
     case "article" | "node" | "dyn" | "filenotes" => 2.0
+    case "meta" | "chain"         => 2.0 // atlas per-dataset pages
     case "preview" | "structure"  => 1.0
     case _                        => 0.5 // head probes, unknown
   }
@@ -55,13 +56,34 @@ object PageParser {
     case _ => doc.spans
   }
 
-  /** Outlinks in span order, with in-page ordinals (post page-abort). */
-  def extractLinks(doc: Doc): Seq[DiscoveredLink] =
-    parseableSpans(doc).iterator
+  /** The ATLAS chain-id regex, verbatim shape (atlas.py:75-77): applied to
+    * raw `<a href>` markup inside the index page's TEXT spans — the only
+    * way chains are discoverable (S7's regex-over-HTML scan). */
+  private val AtlasChainIdRe =
+    """<a href="/ATLAS/database/ATLAS/([A-Za-z0-9]{4}_[A-Za-z])/[^"]*html"""".r
+
+  /** Outlinks in span order, with in-page ordinals (post page-abort). For
+    * the ATLAS index, links are MINTED from the chain-id regex over the
+    * raw-HTML text spans — first-occurrence order, set-dedup like the
+    * reference's `set(pdb_chains)` (atlas.py:78-82) — each chain yielding
+    * its metadata-API page and its dataset-HTML page (atlas.py:149-152).
+    */
+  def extractLinks(doc: Doc): Seq[DiscoveredLink] = {
+    if (doc.doc_id == "atlas://index") {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      doc.spans.iterator.filter(_.kind == "text").foreach { s =>
+        AtlasChainIdRe.findAllMatchIn(s.text).foreach(m => seen += m.group(1))
+      }
+      seen.iterator.zipWithIndex.flatMap { case (chain, i) =>
+        Seq(DiscoveredLink(s"atlas://meta/$chain", "meta", 2 * i, 2.0),
+          DiscoveredLink(s"atlas://chain/$chain", "chain", 2 * i + 1, 2.0))
+      }.toSeq
+    } else parseableSpans(doc).iterator
       .filter(s => s.kind == "media" && Crawlable.contains(s.media_ref.takeWhile(_ != ':')))
       .zipWithIndex
       .map { case (s, i) => DiscoveredLink(s.media_ref, kindOf(s.media_ref), i, scoreOf(s.media_ref)) }
       .toSeq
+  }
 
   /** Scala-side clean_text = strip_html ∘ strip_whitespace (reference
     * core/toolbox.py:212-262; Column-side twin in
@@ -157,7 +179,9 @@ object PageParser {
     (mins.toSeq, sim, words.length.toLong)
   }
 
-  private val RecordRe = "^record ([a-z]-\\d+)$".r
+  // record markers: `<host-initial>-<n>` everywhere, PDB chain ids on
+  // atlas metadata pages
+  private val RecordRe = "^record ([a-z]-\\d+|[A-Za-z0-9]{4}_[A-Za-z])$".r
   private val FileRe = "^file: (\\S+) size: (\\d+|\\?) md5: (\\S+)$".r
   private val HeadSizeRe = "^headsize: (\\S+) size: (\\d+)$".r
   private val ZipEntryRe = "^zipentry (\\S+) size: (\\d+)$".r
@@ -200,10 +224,14 @@ object PageParser {
         download_number = dl.headOption.flatMap(_.toLongOption),
         view_number = dl.lift(1).flatMap(_.toLongOption),
         // MDposit records carry the count directly (len(dataset.files),
-        // mddb.py:673); page-embedded records count their file lines
+        // mddb.py:673); page-embedded records count their file lines; a
+        // page listing NO files (atlas metadata API — files live on the
+        // separate HTML page) reports the count as ABSENT, not zero (a
+        // zero count would trip the strict-positivity validator)
         number_of_files = field(spans, "nfiles").flatMap(_.toLongOption)
           .orElse(Some(spans.count(s =>
-            s.kind == "text" && s.text.startsWith("file: ")).toLong)),
+            s.kind == "text" && s.text.startsWith("file: ")).toLong)
+            .filter(_ > 0)),
         description_minhash = mh,
         description_simhash = sh,
         description_tokens = tok,
@@ -233,7 +261,60 @@ object PageParser {
         FileRecord(h2, s"${h2.head}-$n", doc.doc_id, path, url,
           Some(size.toLong), None, Some(zipName), "")
     }
-    direct ++ zipped
+    direct ++ zipped ++ parseAtlasFiles(doc)
+  }
+
+  // ---- ATLAS raw-HTML file extraction (atlas.py:86-124,292-339) -----------
+  // The reference walks soup.find_all("a") and applies TWO independent
+  // regexes: the download-link pattern on the href (must be a .zip inside
+  // a chain directory) and the size pattern on the anchor TEXT
+  // (`Download \(<human size>\)`); an anchor failing either is skipped.
+  // Sizes sometimes use a comma decimal separator → normalized to '.'
+  // (atlas.py:118-121), then parsed by the pydantic-ByteSize twin.
+  private val AnchorRe = """<a href="([^"]+)"[^>]*>([^<]*)</a>""".r
+  private val AtlasDownloadHrefRe =
+    """dl://atlas/[A-Za-z0-9]{4}_[A-Za-z]/[^"]*zip""".r
+  private val AtlasSizeRe = """Download \(([A-Za-z0-9,\. ]+)\)""".r
+  private val AtlasChainDocRe = "^atlas://chain/([A-Za-z0-9]{4}_[A-Za-z])$".r
+
+  def parseAtlasFiles(doc: Doc): Seq[FileRecord] = doc.doc_id match {
+    case AtlasChainDocRe(chain) =>
+      doc.spans.filter(_.kind == "text").flatMap { s =>
+        AnchorRe.findAllMatchIn(s.text).flatMap { a =>
+          val href = a.group(1)
+          val text = a.group(2)
+          for {
+            _ <- AtlasDownloadHrefRe.findFirstIn(href)
+            m <- AtlasSizeRe.findFirstMatchIn(text)
+            bytes <- parseByteSizeText(m.group(1).replace(',', '.'))
+          } yield FileRecord("atlas", chain, doc.doc_id,
+            href.substring(href.lastIndexOf('/') + 1), href, Some(bytes),
+            None, None, "")
+        }
+      }
+    case _ => Seq.empty
+  }
+
+  /** Scala-side twin of `TextFunctions.parseByteSize` (pydantic ByteSize,
+    * models/file.py:48-65): same normalization, same double product, same
+    * truncation — the parse hot path can't call Column code. */
+  private val ByteUnitMult: Map[String, Double] = Map(
+    "b" -> 1d, "kb" -> 1e3, "mb" -> 1e6, "gb" -> 1e9, "tb" -> 1e12,
+    "pb" -> 1e15, "eb" -> 1e18,
+    "kib" -> 1024d, "mib" -> math.pow(1024, 2), "gib" -> math.pow(1024, 3),
+    "tib" -> math.pow(1024, 4), "pib" -> math.pow(1024, 5))
+  private val ByteNumRe = "([-+]?[0-9]*\\.?[0-9]+)".r
+  private val ByteUnitRe = "([a-z]+)\\s*$".r
+
+  def parseByteSizeText(raw: String): Option[Long] = {
+    val s = raw.trim.toLowerCase.replace("bytes", "b")
+    for {
+      numM <- ByteNumRe.findFirstMatchIn(s)
+      num = numM.group(1).toDouble
+      mult <- ByteUnitRe.findFirstMatchIn(s)
+        .map(m => ByteUnitMult.get(m.group(1).trim))
+        .getOrElse(Some(1d))
+    } yield math.floor(num * mult).toLong
   }
 
   /** HEAD-probe answers on a page → (file_url, size) rows (S13,

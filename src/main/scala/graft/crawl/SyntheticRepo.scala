@@ -58,6 +58,15 @@ final case class RepoConfig(
       * (atlas.py:88-124) — `gpcrmd://head/...` tasks answering with a
       * size-only span and zero links. */
     gpcrmdCount: Int = 0,
+    /** chain count of the ATLAS-style repository (0 = absent): ONE
+      * single-shot HTML index page whose text spans carry raw `<a href>`
+      * markup — chains are discoverable ONLY by the literal chain-id regex
+      * over the hrefs (atlas.py:55-82, S7 in its regex-over-HTML form) —
+      * linking a per-chain metadata API page (atlas.py:177-257) and a
+      * per-chain dataset HTML page whose download links + human-readable
+      * sizes (comma decimal separators included) are regex-extracted
+      * (atlas.py:86-124,292-339). */
+    atlasCount: Int = 0,
     /** project count of the MDDB/MDposit-style repository (0 = absent):
       * offset-paginated project listing at pageSize/2 per page (the
       * reference's page_size 50, mddb.py:59-156) whose total is known up
@@ -165,8 +174,21 @@ object SyntheticRepo {
       url = s"mddb://projects/$p", host = "mddb", depth = 0, score = 3.0,
       round = 0, queryIdx = Hosts.size * cfg.fileTypes.size + 2, pageIdx = p,
       hitIdx = 0))
-    searches ++ cursor ++ index ++ mddb
+    // ATLAS single-shot HTML index (atlas.py:248-257 fetches INDEX_URL
+    // once); everything else is discovered by regex over its raw markup
+    val atlas = if (cfg.atlasCount <= 0) Seq.empty
+    else Seq(FetchTask(
+      url = "atlas://index", host = "atlas", depth = 0, score = 3.0,
+      round = 0, queryIdx = Hosts.size * cfg.fileTypes.size + 3, pageIdx = 0,
+      hitIdx = 0))
+    searches ++ cursor ++ index ++ mddb ++ atlas
   }
+
+  /** PDB-chain id of ATLAS dataset n: 4 alphanumerics + '_' + chain
+    * letter, the exact shape atlas.py's chain-id regex captures
+    * (`[A-Za-z0-9]{4}_[A-Za-z]`). */
+  def atlasChainId(cfg: RepoConfig, n: Int): String =
+    f"$n%04x_${('A' + pos(h(cfg, "achain", n), 6)).toChar}"
 
   /** MDposit page size: the reference uses 50 against Zenodo's 100
     * (mddb.py:62 `page_size: int = 50`). */
@@ -197,6 +219,8 @@ object SyntheticRepo {
   private val HeadRe = "^gpcrmd://head/(\\d+)/(\\d+)$".r
   private val MddbPageRe = "^mddb://projects/(\\d+)$".r
   private val FilenotesRe = "^mddb://filenotes/(\\d+)/(\\d+)$".r
+  private val AtlasMetaRe = "^atlas://meta/([0-9a-f]{4}_[A-Z])$".r
+  private val AtlasChainRe = "^atlas://chain/([0-9a-f]{4}_[A-Z])$".r
 
   /** Fetch a URL through the reference's retry envelope
     * (toolbox.py:29-117): up to `maxAttempts` tries; a 202 "accepted but
@@ -217,12 +241,15 @@ object SyntheticRepo {
   /** One raw attempt (no retry). */
   def fetchAttempt(cfg: RepoConfig, url: String, attempt: Int): FetchedPage = {
     val host = url.takeWhile(_ != ':')
-    // deterministic 404s — never for seed search pages (page 1) nor cursor
+    // deterministic 404s — never for seed search pages (page 1), cursor
     // pages (a dead cursor page would sever the whole dependent chain; the
-    // reference retries those indefinitely, nomad.py:133-136)
+    // reference retries those indefinitely, nomad.py:133-136), or
+    // single-shot index pages (the reference ABORTS the whole scrape when
+    // the index fails, atlas.py:248-257 — a dead index models nothing)
     val isCursor = host == "nomad"
+    val isIndex = url.endsWith("://index")
     val dead = pos(h(cfg, "404", url), cfg.notFoundOneIn) == 0 &&
-      !SeedPageRe.matches(url) && !isCursor
+      !SeedPageRe.matches(url) && !isCursor && !isIndex
     if (dead) {
       return FetchedPage(url, host, 0, 404, Doc(url, Seq.empty), Seq.empty)
     }
@@ -243,6 +270,9 @@ object SyntheticRepo {
       case HeadRe(n, j)            => headSpans(cfg, n.toInt, j.toInt)
       case MddbPageRe(p)           => mddbPageSpans(cfg, p.toInt)
       case FilenotesRe(n, rid)     => filenotesSpans(cfg, n.toInt, rid.toInt)
+      case "atlas://index"         => atlasIndexSpans(cfg)
+      case AtlasMetaRe(chain)      => atlasMetaSpans(cfg, chain)
+      case AtlasChainRe(chain)     => atlasChainSpans(cfg, chain)
       case _                       => Seq.empty
     }
     val doc = Doc(url, spans)
@@ -504,7 +534,12 @@ object SyntheticRepo {
     fields += s""""CL":${pos(h(cfg, "mcl", n), 200)}"""
     if (pos(h(cfg, "noink", n), 4) == 0)
       fields += s""""INCHIKEYS":["${word(h(cfg, "mink", n)).toUpperCase}-${word(h(cfg, "mink2", n)).toUpperCase}"]"""
-    val ts = if (pos(h(cfg, "mbadts", n), 13) == 0) -1 else 1 + pos(h(cfg, "mts", n), 4)
+    // ~1/13 negative (whole-record quarantine), ~1/11 zero (falsy → treated
+    // as ABSENT, record kept — mddb.py:694), else positive
+    val ts =
+      if (pos(h(cfg, "mbadts", n), 13) == 0) -1
+      else if (pos(h(cfg, "mzts", n), 11) == 0) 0
+      else 1 + pos(h(cfg, "mts", n), 4)
     fields += s""""TIMESTEP":$ts"""
     fields += s""""TEMP":${290 + pos(h(cfg, "mtemp", n), 40)}"""
     fields += s""""mdAtoms":${1000 + pos(h(cfg, "matoms", n), 3000000)}"""
@@ -570,6 +605,115 @@ object SyntheticRepo {
       s""""simulation_temperatures":[$temp]}"""
   }
 
+  // ---- ATLAS-style repository (raw-HTML regex surface) ---------------------
+
+  /** ATLAS index page: text spans carrying RAW `<a href>` markup, ~8
+    * anchors per span. Chains are discoverable ONLY by the chain-id regex
+    * (atlas.py:75-82 `/ATLAS/database/ATLAS/([A-Za-z0-9]{4}_[A-Za-z])/.*html`)
+    * — the spans deliberately mix in decoy anchors that must NOT match
+    * (non-chain paths, non-html targets) and DUPLICATE anchors for the
+    * same chain (analysis page next to the dataset page: the reference's
+    * `set(pdb_chains)` dedups; the engine keeps first-occurrence order).
+    */
+  private def atlasIndexSpans(cfg: RepoConfig): Seq[Span] = {
+    val header = Span("text",
+      s"<h1>ATLAS: ${cfg.atlasCount} protein chains</h1>", "", 0)
+    val rows = (0 until cfg.atlasCount).grouped(8).zipWithIndex.map {
+      case (grp, gi) =>
+        val anchors = grp.flatMap { n =>
+          val c = atlasChainId(cfg, n)
+          val main =
+            s"""<a href="/ATLAS/database/ATLAS/$c/$c.html">$c</a>"""
+          // ~1/5 chains also expose an analysis page — same chain id,
+          // still one dataset (set-dedup bait)
+          val dup = if (pos(h(cfg, "adup", n), 5) == 0)
+            Seq(s"""<a href="/ATLAS/database/ATLAS/$c/analysis.html">plots</a>""")
+          else Seq.empty
+          // decoys: api path (not /database/), pdf target (regex needs html)
+          val decoys = Seq(
+            s"""<a href="/ATLAS/api/MD_parameters">params</a>""",
+            s"""<a href="/ATLAS/database/ATLAS/$c/$c.pdf">pdf</a>""")
+            .filter(_ => pos(h(cfg, "adecoy", n), 3) == 0)
+          main +: (dup ++ decoys)
+        }
+        Span("text", anchors.mkString("<li>", " ", "</li>"), "", gi + 1)
+    }.toSeq
+    header +: rows
+  }
+
+  /** Per-chain metadata API answer (atlas.py:177-243): protein name,
+    * organism, the fixed ATLAS_METADATA constants (license, authors, doi),
+    * no file listing — files come from the separate HTML page. */
+  private def atlasMetaSpans(cfg: RepoConfig, chain: String): Seq[Span] = {
+    val base = h(cfg, "ameta", chain)
+    var off = 0
+    def at(k: String, t: String, m: String = ""): Span = {
+      val s = Span(k, t, m, off); off += 1; s
+    }
+    Seq(
+      at("text", s"record $chain"),
+      at("text", s"title: ${word(hh(base, 1)).capitalize} ${word(hh(base, 2))} protein $chain"),
+      at("media", "thumbnail", s"thumb://atlas/$chain.png"),
+      at("text", "authors: Tatiana Galochkina; Pierre Poulain"),
+      at("text", "doi: 10.1093/nar.gkad1084"),
+      at("text", s"date: 20${18 + pos(hh(base, 3), 7)}-0${1 + pos(hh(base, 4), 9)}-1${pos(hh(base, 5), 9)}T09:00:00"),
+      at("text", s"keywords: ${word(hh(base, 6))}; atlas"),
+      at("text", s"description: organism ${word(hh(base, 7)).capitalize} ${word(hh(base, 8))}"),
+      at("text", s"downloads: ${pos(hh(base, 9), 5000)} views: ${pos(hh(base, 10), 50000)}"),
+      at("text", "license: CC-BY-4.0"),
+    )
+  }
+
+  /** One downloadable archive of an ATLAS chain. `sizeText` is the
+    * HUMAN-READABLE size as it appears in the link text — sometimes with a
+    * comma decimal separator (atlas.py:118-121 normalizes `,` → `.`). */
+  final case class AtlasFile(name: String, url: String, sizeText: String,
+                             sizeBytes: Long)
+
+  def atlasFileEntries(cfg: RepoConfig, chain: String): Seq[AtlasFile] = {
+    val kinds = Seq("prod_R1", "prod_R2", "prod_R3", "analysis")
+    (0 until (1 + pos(h(cfg, "anf", chain), 3))).map { j =>
+      val name = s"${chain}_${kinds(j)}.zip"
+      // value with one decimal digit; unit MB or GB
+      val tenth = 10 + pos(h(cfg, "afs", chain, j), 9990) // 1.0..999.9
+      val unit = if (pos(h(cfg, "afu", chain, j), 4) == 0) "GB" else "MB"
+      val comma = pos(h(cfg, "afc", chain, j), 3) == 0
+      val txt = s"${tenth / 10}${if (comma) "," else "."}${tenth % 10} $unit"
+      val mult = if (unit == "GB") 1e9 else 1e6
+      // bytes = floor of the SAME double product the parser computes —
+      // the pydantic-ByteSize twin (TextFunctions.parseByteSize)
+      val bytes = math.floor(tenth / 10.0 * mult).toLong
+      AtlasFile(name, s"dl://atlas/$chain/$name", txt, bytes)
+    }
+  }
+
+  /** Per-chain dataset HTML page (atlas.py:86-124): raw anchors whose
+    * href must match the download-link regex AND whose text must match
+    * `Download \(...\)` — plus decoys failing exactly one of the two. */
+  private def atlasChainSpans(cfg: RepoConfig, chain: String): Seq[Span] = {
+    val files = atlasFileEntries(cfg, chain)
+    val header = Span("text", s"<h1>ATLAS dataset $chain</h1>", "", 0)
+    val anchors = files.zipWithIndex.map { case (f, j) =>
+      Span("text",
+        s"""<a href="${f.url}">Download (${f.sizeText})</a>""", "",
+        10 * (j + 1))
+    }
+    val decoys = Seq(
+      // zip href but no Download(...) text → size regex misses
+      Span("text", s"""<a href="dl://atlas/$chain/raw.zip">Get archive</a>""",
+        "", 900),
+      // Download(...) text but non-zip href → link regex misses
+      Span("text",
+        s"""<a href="dl://atlas/$chain/readme.txt">Download (12 KB)</a>""",
+        "", 901),
+      // Download(...) + zip but the path misses the chain-dir shape
+      Span("text",
+        s"""<a href="dl://atlas/pub/bundle.zip">Download (1.5 GB)</a>""",
+        "", 902),
+    )
+    (header +: anchors) ++ decoys
+  }
+
   final case class FileEntry(name: String, url: String, size: Long, md5: String)
 
   def fileEntries(cfg: RepoConfig, host: String, n: Int): Seq[FileEntry] = {
@@ -620,7 +764,9 @@ object SyntheticRepo {
            |Pcoupl = $pc
            |ref_t = ${280 + pos(hh(base, 6), 41)}$dup""".stripMargin
       case "gro" =>
-        val residues = Seq("ALA", "DPPC", "SOL", "NA", "GLC", "DNA", "LYS", "POPC")
+        // same rotation as FileParsers.residues: all five catalog classes
+        // plus the dual-class-removed 2MA
+        val residues = Seq("ALA", "DPPC", "SOL", "NA", "0MA", "DA", "LYS", "2MA")
         val n = 3 + pos(hh(base, 10), 5)
         val atoms = (1 to n).map { i =>
           val res = residues(pos(hh(base, 100L + i), residues.size))

@@ -402,10 +402,13 @@ object Validators {
           Molecule("Small molecule", Some("SMALL_MOLECULE"), None, None,
             None, Seq.empty, inchikey = Some(k)))
 
-      // timestep: singleton list when present; the shared simulation model
-      // requires strict positivity (simulation.py:174-199)
-      val timesteps = num("TIMESTEP").toSeq.map { t =>
-        if (t <= 0) return Left(s"invalid timestep: $t") else t
+      // timestep: `[time_step] if time_step else None` (mddb.py:694) — a
+      // FALSY timestep (0 or absent) is treated as absent and the record is
+      // kept; only a negative value actually enters the list, where the
+      // shared simulation model's strict positivity rejects the record
+      // (simulation.py:174-199)
+      val timesteps = num("TIMESTEP").filter(_ != 0.0).toSeq.map { t =>
+        if (t < 0) return Left(s"invalid timestep: $t") else t
       }
       // TEMP is already Kelvin in MDposit payloads (mddb.py:694-700)
       val temps = num("TEMP").toSeq

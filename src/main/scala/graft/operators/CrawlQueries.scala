@@ -19,12 +19,12 @@ object CrawlQueries {
 
   private val repo = RepoConfig(seed = 42L, universe = 400,
     fileTypes = Seq("gro", "mdp"), pageSize = 20, maxHitsPerQuery = 100,
-    cursorPages = 6, gpcrmdCount = 30, mddbCount = 35)
+    cursorPages = 6, gpcrmdCount = 30, mddbCount = 35, atlasCount = 25)
   // 2× the parity suite's per-round budgets / half the rounds: same
   // crawl surface in the artifacts, half the per-round fixed cost in the
   // driver bench (the cursor chain needs exactly its 6 rounds either way)
   private val budget = Map("zenodo" -> 80, "figshare" -> 50, "osf" -> 60,
-    "nomad" -> 5, "gpcrmd" -> 40, "mddb" -> 30)
+    "nomad" -> 5, "gpcrmd" -> 40, "mddb" -> 30, "atlas" -> 36)
 
   /** One micro-crawl per session (sfDir-independent), memoized. */
   @volatile private var cached: Option[(SparkSession, graft.tables.Glacier)] = None
@@ -92,7 +92,29 @@ object CrawlQueries {
       downloaded(s).read(s, "mdp_params").get.orderBy("file_url")),
     QueryEntry("q_crawl_gro_params", (s, _) =>
       downloaded(s).read(s, "gro_params").get.orderBy("file_url")),
+    // consolidated export (export_to_parquet.py): per-origin stats rollup
+    // with the grand-total row, and the timeline analysis frame
+    QueryEntry("q_crawl_export_stats", (s, _) =>
+      exported(s).read(s, "export_stats").get.orderBy("dataset_origin")),
+    QueryEntry("q_crawl_timeline", (s, _) =>
+      exported(s).read(s, "export_timeline").get.orderBy("type", "year")),
   )
+
+  /** Pre-warm the memoized micro-crawl + download + export stages
+    * (idempotent). Bench calls this BEFORE timing individual queries so
+    * the engine bootstrap is reported as its own line instead of being
+    * absorbed by whichever q_crawl_* query happens to run first. */
+  def ensure(s: SparkSession): Unit = { exported(s); () }
+
+  /** The memoized crawl's Glacier with the export stage guaranteed run
+    * (idempotent: the stage skips when the current snapshot is already
+    * the export). */
+  private def exported(s: SparkSession): graft.tables.Glacier =
+    synchronized {
+      val g = downloaded(s)
+      graft.crawl.ExportStage.run(s, g)
+      g
+    }
 
   /** The memoized crawl's Glacier with the download stage guaranteed run
     * (idempotent: a cached store downloads nothing on re-entry). */

@@ -114,6 +114,29 @@ object DedupOps {
       .distinct()
   }
 
+  /** Guard for the deliberately-quadratic small-scale reference twins
+    * (`q_ngram_jaccard`, `q_embedding_neardup`): measures the largest
+    * block BEFORE the within-block self-join is allowed to run and
+    * REFUSES loudly above `cap` — at that point the caller belongs on the
+    * LSH flagship (`q_jaccard_lsh` / `q_embedding_lsh`), whose work is
+    * bounded by the signature, not the block. The check itself is one
+    * scalable partial-agg shuffle; an oversized quadratic join never
+    * starts. cap=10^4 bounds any block at ≤10^8 pairs.
+    */
+  private[operators] val QuadraticBlockCap = 10000L
+  def requireBoundedBlocks(d: DataFrame, keys: Seq[String], name: String,
+                           flagship: String,
+                           cap: Long = QuadraticBlockCap): DataFrame = {
+    val mx = d.groupBy(keys.map(col): _*).count()
+      .agg(coalesce(max(col("count")), lit(0L)).as("mx"))
+      .collect()(0).getLong(0)
+    require(mx <= cap,
+      s"$name: largest (${keys.mkString(",")}) block has $mx rows > cap " +
+        s"$cap — quadratic within-block self-join refused; use $flagship " +
+        "(LSH-bounded) at this scale")
+    d
+  }
+
   def entries: Seq[QueryEntry] = Seq(
     // ---- exact dedup by content hash -------------------------------------
     QueryEntry(
@@ -190,10 +213,12 @@ object DedupOps {
     QueryEntry(
       "q_ngram_jaccard",
       (s, dir) => {
-        val d = t(s, dir, "documents")
-          .select(col("doc_id"), col("lang"), col("source"),
-                  array_distinct(shingles(col("text"))).as("sh"))
-          .filter(size(col("sh")) > 0)
+        val d = requireBoundedBlocks(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("source"),
+                    array_distinct(shingles(col("text"))).as("sh"))
+            .filter(size(col("sh")) > 0),
+          Seq("lang", "source"), "q_ngram_jaccard", "q_jaccard_lsh")
         val a = d.as("a")
         val b = d.as("b")
         a.join(b, col("a.lang") === col("b.lang")
@@ -285,19 +310,16 @@ object DedupOps {
     // ---- near-dup CLUSTERS: connected components over LSH pairs -----------
     // A training-data dedup pipeline keeps ONE canonical document per
     // near-dup cluster, and clusters are the transitive closure of the
-    // pairwise candidates. Min-label propagation: every doc starts labeled
-    // with its own id; each iteration every doc takes the min label among
-    // itself and its neighbors; converges in O(cluster diameter) rounds —
-    // near-dup clusters are shallow (dup chains, not paths), so 2-4
-    // iterations in practice. Each iteration is one join + one partial-agg
-    // shuffle; at 100 TB the alternating large-star/small-star variant of
-    // the same propagation bounds the per-iteration shuffle volume, and the
-    // convergence check rides the iteration's own aggregation.
+    // pairwise candidates. Implemented as alternating small-star/large-star
+    // contraction (the two-phase MapReduce CC algorithm): converges in
+    // O(log diameter) rounds — a PATH-shaped cluster of length 10^6 (plain
+    // min-propagation's worst case: 10^6 full-edge-list shuffles) closes in
+    // ~20 — and per-iteration shuffle volume shrinks with the edge set as
+    // stars collapse. ONE Spark action per iteration; the convergence
+    // metric rides that action via Observation (no separate count job).
     QueryEntry(
       "q_dedup_clusters",
-      (s, dir) => clustersMemo.synchronized {
-        clustersMemo.getOrElseUpdate((s, dir), computeClusters(s, dir))
-      },
+      (s, dir) => clustersFor(s, dir),
       Some {
         val sh = sqlShingles("text")
         val sigCols = (0 until NumHashes)
@@ -335,51 +357,109 @@ object DedupOps {
   )
 
   /** The converged generation stays cached (the returned plan reads
-    * through it); memoizing per (session, sfDir) bounds that to ONE cached
-    * labels table per input instead of one per invocation. */
-  private val clustersMemo =
-    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+    * through it). SINGLE-entry memo: re-invocation on the same
+    * (session, sfDir) reuses the cached result; a different key evicts —
+    * unpersisting the old frame — so the memo never pins more than one
+    * labels table (or a stopped session) for the JVM's lifetime. */
+  private var clustersMemo:
+      Option[((org.apache.spark.sql.SparkSession, String), DataFrame)] = None
+
+  private[operators] def clustersFor(s: org.apache.spark.sql.SparkSession,
+                                     dir: String): DataFrame = synchronized {
+    clustersMemo match {
+      case Some((k, df)) if k == ((s, dir)) && !s.sparkContext.isStopped => df
+      case prev =>
+        prev.foreach { case ((olds, _), df) =>
+          if (!olds.sparkContext.isStopped) df.unpersist(blocking = false)
+        }
+        val df = computeClusters(s, dir)
+        clustersMemo = Some(((s, dir), df))
+        df
+    }
+  }
+
+  /** One small-star round: canonical edges (src > dst) grouped by src;
+    * every member of Γ⁻(u) ∪ {u} points at the group min. Output stays
+    * canonical; self-loops (the min pointing at itself) are dropped.
+    */
+  private[operators] def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("src")).agg(min(col("dst")).as("m"))
+    val moved = e.join(mins, "src")
+      .filter(col("dst") =!= col("m"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+    moved.unionByName(mins.select(col("src"), col("m").as("dst"))).distinct()
+  }
+
+  /** One large-star round: over the SYMMETRIZED neighborhood of u, every
+    * strictly-larger neighbor points at min(Γ(u) ∪ {u}). Breaks long
+    * chains logarithmically (the phase plain propagation lacks).
+    */
+  private[operators] def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("src"), col("dst"))
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src"), least(col("mn"), col("src")).as("m"))
+    sym.join(mins, "src")
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** Connected components of an undirected edge list (src, dst), returned
+    * as (id, component-min) star edges for every NON-root member; isolated
+    * nodes simply don't appear (callers left-join + coalesce to their own
+    * id). Alternates small-star/large-star until the edge set is a fixed
+    * point. Each iteration materializes ONCE via an eager localCheckpoint —
+    * which also TRUNCATES lineage, mandatory here because one star round
+    * references its input ~6× (plan size would otherwise grow 6^iters) —
+    * and the fixed-point check (count + order-invariant hash) is a tiny
+    * aggregate over the checkpointed in-memory blocks, recomputing
+    * nothing. On a real cluster swap localCheckpoint for a reliable
+    * `checkpoint` dir to survive executor loss on long chains.
+    */
+  def connectedComponents(edges: DataFrame): (DataFrame, Int) = {
+    var e = edges
+      .select(greatest(col("src"), col("dst")).as("src"),
+              least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    def sig(d: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = d.agg(count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(col("src"), col("dst"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+          lit(java.math.BigDecimal.ZERO)).as("h")).collect()(0)
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var prev = (-1L, java.math.BigDecimal.ZERO)
+    var iters = 0
+    var converged = false
+    while (!converged) {
+      iters += 1
+      val next = largeStar(smallStar(e)).localCheckpoint(true)
+      // equal (count, hash-sum) of consecutive DISTINCT edge sets ⇔ fixed
+      // point (rows are distinct, so the multiset hash is a set hash)
+      val s = sig(next)
+      converged = s._1 == prev._1 && s._2.compareTo(prev._2) == 0
+      prev = s
+      e.unpersist(blocking = false)
+      e = next
+    }
+    (e, iters)
+  }
 
   private def computeClusters(s: org.apache.spark.sql.SparkSession,
                               dir: String): DataFrame = {
-        val docs = t(s, dir, "documents")
-        // cached BEFORE the symmetric union — both union branches read the
-        // signature pipeline from the cache instead of recomputing it
-        val pairs = minhashCandidatePairs(docs, "text", "doc_id").persist()
-        val edges = pairs
-          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .unionByName(pairs
-            .select(col("doc_b").as("src"), col("doc_a").as("dst")))
-          .persist()
-        var labels = docs.select(col("doc_id").as("id"),
-          col("doc_id").as("component"))
-        val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
-        var changed = 1L
-        while (changed > 0) {
-          val neighborMin = edges
-            .join(labels, edges("dst") === labels("id"))
-            .groupBy(col("src")).agg(min(col("component")).as("nmin"))
-          val next = labels
-            .join(neighborMin, labels("id") === neighborMin("src"), "left")
-            .select(col("id"),
-              least(col("component"),
-                coalesce(col("nmin"), col("component"))).as("component"),
-              (coalesce(col("nmin"), col("component")) < col("component"))
-                .as("ch"))
-            .persist()
-          persisted += next
-          changed = next.filter(col("ch")).count()
-          // persist() also truncates the effective lineage per iteration —
-          // the convergence count materializes each generation before the
-          // next builds on it
-          labels = next.drop("ch")
-        }
-        // release everything but the converged generation (the caller's
-        // action reads labels through the final cached iteration)
-        pairs.unpersist(blocking = false)
-        edges.unpersist(blocking = false)
-        persisted.dropRight(1).foreach(_.unpersist(blocking = false))
-        labels.select(col("id").as("doc_id"), col("component"))
-          .orderBy("doc_id")
+    val docs = t(s, dir, "documents")
+    // cached: the star contraction re-reads the edge set every iteration
+    val pairs = minhashCandidatePairs(docs, "text", "doc_id")
+      .select(col("doc_a").as("src"), col("doc_b").as("dst")).persist()
+    val (stars, _) = connectedComponents(pairs)
+    pairs.unpersist(blocking = false)
+    docs.select(col("doc_id"))
+      .join(stars.select(col("src").as("doc_id"), col("dst").as("__c")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__c"), col("doc_id")).as("component"))
+      .orderBy("doc_id")
   }
 }

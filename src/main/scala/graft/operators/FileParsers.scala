@@ -101,14 +101,19 @@ object FileParsers {
     mdpField(c, "integrator").as("integrator"))
 
   // ---- gro synthesis + classification --------------------------------------
+  // Rotation covers all five catalog classes PLUS `2MA` — the one residue
+  // of the published catalog that appears in two classes (nucleic+glucid)
+  // and is therefore excluded from BOTH by the dual-class removal; docs
+  // carrying only 2MA must classify all-false on nucleic/glucid.
   private val residues =
-    Seq("ALA", "DPPC", "SOL", "NA", "GLC", "DNA", "LYS", "POPC")
-  /** residue class sets (subset of params/residue_names.yml semantics) */
-  val proteinSet = Seq("ALA", "LYS", "ARG", "GLY")
-  val lipidSet = Seq("DPPC", "POPC", "DOPC")
-  val waterIonSet = Seq("SOL", "NA", "CL", "K")
-  val nucleicSet = Seq("DNA", "RNA", "DA", "DT")
-  val glucidSet = Seq("GLC", "GAL", "MAN")
+    Seq("ALA", "DPPC", "SOL", "NA", "0MA", "DA", "LYS", "2MA")
+  /** FULL residue class sets — params/residue_names.yml via
+    * [[ResidueCatalog]] (322-entry file, dual-class removal applied). */
+  val proteinSet: Seq[String] = ResidueCatalog.proteinSet
+  val lipidSet: Seq[String] = ResidueCatalog.lipidSet
+  val waterIonSet: Seq[String] = ResidueCatalog.waterIonSet
+  val nucleicSet: Seq[String] = ResidueCatalog.nucleicSet
+  val glucidSet: Seq[String] = ResidueCatalog.glucidSet
 
   /** gro body: title, atom-count line, fixed-width atom lines (residue name
     * at columns 6-10, right-padded). */
@@ -128,7 +133,7 @@ object FileParsers {
       array_join(atomLines, "\n"))
   }
 
-  private val sqlResidues = "['ALA','DPPC','SOL','NA','GLC','DNA','LYS','POPC']"
+  private val sqlResidues = "['ALA','DPPC','SOL','NA','0MA','DA','LYS','2MA']"
   private val sqlGro =
     s"""SELECT doc_id,
          'doc ' || doc_id || ' molecule' || chr(10) ||
@@ -198,11 +203,11 @@ object FileParsers {
             l -> trim(substr(l, 6, 5)))) AS resnames
         FROM g)
         SELECT doc_id, atom_number,
-          len(list_intersect(resnames, ['ALA','LYS','ARG','GLY'])) > 0 AS has_protein,
-          len(list_intersect(resnames, ['DNA','RNA','DA','DT'])) > 0 AS has_nucleic,
-          len(list_intersect(resnames, ['DPPC','POPC','DOPC'])) > 0 AS has_lipid,
-          len(list_intersect(resnames, ['GLC','GAL','MAN'])) > 0 AS has_glucid,
-          len(list_intersect(resnames, ['SOL','NA','CL','K'])) > 0 AS has_water_ion
+          len(list_intersect(resnames, ${ResidueCatalog.sqlList(proteinSet)})) > 0 AS has_protein,
+          len(list_intersect(resnames, ${ResidueCatalog.sqlList(nucleicSet)})) > 0 AS has_nucleic,
+          len(list_intersect(resnames, ${ResidueCatalog.sqlList(lipidSet)})) > 0 AS has_lipid,
+          len(list_intersect(resnames, ${ResidueCatalog.sqlList(glucidSet)})) > 0 AS has_glucid,
+          len(list_intersect(resnames, ${ResidueCatalog.sqlList(waterIonSet)})) > 0 AS has_water_ion
         FROM p ORDER BY doc_id"""),
     ),
   )

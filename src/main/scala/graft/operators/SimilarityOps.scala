@@ -189,8 +189,10 @@ object SimilarityOps {
     QueryEntry(
       "q_embedding_neardup",
       (s, dir) => {
-        val e = t(s, dir, "embeddings").select(col("vec_id"), col("label"),
-          transform(col("embedding"), _.cast("double")).as("v"))
+        val e = DedupOps.requireBoundedBlocks(
+          t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+            transform(col("embedding"), _.cast("double")).as("v")),
+          Seq("label"), "q_embedding_neardup", "q_embedding_lsh")
         val a = e.as("a")
         val b = e.as("b")
         a.join(b, col("a.label") === col("b.label")

@@ -44,11 +44,14 @@ object NmrLipidsSource {
       .select(input_file_name().as("path"), col("value").as("content"))
       .filter(col("path").endsWith("/README.yaml"))
 
-  /** First `KEY: value` line of a flat YAML body → trimmed value, NULL when
-    * the key is absent (yaml.safe_load + dict.get(field, None)). */
+  /** LAST `KEY: value` line of a flat YAML body → trimmed value, NULL when
+    * the key is absent. yaml.safe_load resolves duplicate keys to the LAST
+    * occurrence, so a README with a repeated key must parse to the final
+    * value (same last-match-wins rule as FileParsers.mdpField). */
   def yamlField(content: Column, key: String): Column = {
-    val v = regexp_extract(content, s"(?m)^$key:[ \\t]*(.*?)[ \\t]*$$", 1)
-    when(regexp_like(content, lit(s"(?m)^$key:")), v)
+    val all = regexp_extract_all(content,
+      lit(s"(?m)^$key:[ \\t]*(.*?)[ \\t]*$$"), lit(1))
+    when(size(all) > 0, element_at(all, -1))
   }
 
   /** Parse + validate scanned READMEs into NMRLipidsRecord rows
@@ -85,6 +88,10 @@ object NmrLipidsSource {
           lit("ID: "), col("doc_id"), lit("\n"),
           lit("DOI: 10.5281/zenodo."), pmod(col("doc_id"), lit(10000)), lit("\n"),
           lit("SOFTWARE: "), sw, lit("\n"),
+          // duplicate key on every 7th doc — pins yaml.safe_load's
+          // last-occurrence-wins duplicate-key resolution in the oracle
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            lit("SOFTWARE: gromacs-2023\n")).otherwise(lit("")),
           when(pmod(col("doc_id"), lit(5)) === 0,
             concat(lit("TEMPERATURE: "), pmod(col("doc_id"), lit(40)) + 290,
               lit("\n"))).otherwise(lit("")),
@@ -101,13 +108,19 @@ object NmrLipidsSource {
             yamlField(col("content"), "FF").as("ff"))
           .orderBy("doc_id")
       },
-      Some("""WITH src AS (
+      Some {
+        def last(key: String): String =
+          s"""list_extract(regexp_extract_all(content,
+             '(?m)^$key:[ \t]*(.*?)[ \t]*$$', 1), -1)"""
+        s"""WITH src AS (
           SELECT doc_id,
             '# NMRLipids README' || chr(10) ||
             'ID: ' || doc_id || chr(10) ||
             'DOI: 10.5281/zenodo.' || (doc_id % 10000) || chr(10) ||
             'SOFTWARE: ' || (CASE doc_id % 3 WHEN 0 THEN 'gromacs'
               WHEN 1 THEN 'namd' ELSE 'openmm' END) || chr(10) ||
+            (CASE WHEN doc_id % 7 = 0
+              THEN 'SOFTWARE: gromacs-2023' || chr(10) ELSE '' END) ||
             (CASE WHEN doc_id % 5 = 0
               THEN 'TEMPERATURE: ' || (doc_id % 40 + 290) || chr(10)
               ELSE '' END) ||
@@ -115,25 +128,14 @@ object NmrLipidsSource {
             'TRJLENGTH: ' || (doc_id % 500 + 10) AS content
           FROM documents)
         SELECT doc_id,
-          CASE WHEN regexp_matches(content, '(?m)^ID:')
-            THEN trim(regexp_extract(content, '(?m)^ID:[ \t]*(.*?)[ \t]*$', 1))
-            END AS source_id,
-          CASE WHEN regexp_matches(content, '(?m)^SOFTWARE:')
-            THEN trim(regexp_extract(content, '(?m)^SOFTWARE:[ \t]*(.*?)[ \t]*$', 1))
-            END AS software,
-          CASE WHEN regexp_matches(content, '(?m)^TEMPERATURE:')
-            THEN trim(regexp_extract(content, '(?m)^TEMPERATURE:[ \t]*(.*?)[ \t]*$', 1))
-            END AS temperature,
-          CASE WHEN regexp_matches(content, '(?m)^NUMBER_OF_ATOMS:')
-            THEN trim(regexp_extract(content, '(?m)^NUMBER_OF_ATOMS:[ \t]*(.*?)[ \t]*$', 1))
-            END AS number_of_atoms,
-          CASE WHEN regexp_matches(content, '(?m)^TRJLENGTH:')
-            THEN trim(regexp_extract(content, '(?m)^TRJLENGTH:[ \t]*(.*?)[ \t]*$', 1))
-            END AS trjlength,
-          CASE WHEN regexp_matches(content, '(?m)^FF:')
-            THEN trim(regexp_extract(content, '(?m)^FF:[ \t]*(.*?)[ \t]*$', 1))
-            END AS ff
-        FROM src ORDER BY doc_id"""),
+          ${last("ID")} AS source_id,
+          ${last("SOFTWARE")} AS software,
+          ${last("TEMPERATURE")} AS temperature,
+          ${last("NUMBER_OF_ATOMS")} AS number_of_atoms,
+          ${last("TRJLENGTH")} AS trjlength,
+          ${last("FF")} AS ff
+        FROM src ORDER BY doc_id"""
+      },
     ),
   )
 }

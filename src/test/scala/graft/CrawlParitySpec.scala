@@ -20,9 +20,9 @@ class CrawlParitySpec extends AnyFunSuite {
 
   private val repo = RepoConfig(seed = 42L, universe = 400,
     fileTypes = Seq("gro", "mdp"), pageSize = 20, maxHitsPerQuery = 100,
-    cursorPages = 6, gpcrmdCount = 30, mddbCount = 35)
+    cursorPages = 6, gpcrmdCount = 30, mddbCount = 35, atlasCount = 25)
   private val budget = Map("zenodo" -> 40, "figshare" -> 25, "osf" -> 30,
-    "nomad" -> 5, "gpcrmd" -> 20, "mddb" -> 15)
+    "nomad" -> 5, "gpcrmd" -> 20, "mddb" -> 15, "atlas" -> 18)
   private val maxRounds = 12
 
   private def cfg(root: String) = CrawlConfig(repo, budget, maxRounds, root,
@@ -99,6 +99,50 @@ class CrawlParitySpec extends AnyFunSuite {
         PageParser.parseableSpans(Doc(id, spans)).size < spans.size
     }
     assert(truncated)
+  }
+
+  test("ATLAS source: regex index scan, per-chain pages, regex-extracted sizes") {
+    // every chain on the index was discovered by the chain-id regex and
+    // BOTH its pages enqueued (metadata API + dataset HTML); pages the
+    // synthetic web kills (deterministic 404, ~1/97) are retried to the
+    // bound and given up, like any other source
+    val chains = (0 until repo.atlasCount)
+      .map(n => SyntheticRepo.atlasChainId(repo, n)).toSet
+    assert(chains.forall(c => oracle.seen.contains(s"atlas://meta/$c")))
+    assert(chains.forall(c => oracle.seen.contains(s"atlas://chain/$c")))
+    def fetched(prefix: String): Set[String] = oracle.log
+      .filter(e => e.url.startsWith(prefix) && e.status == 200)
+      .map(_.url.stripPrefix(prefix)).toSet
+    val metaOk = fetched("atlas://meta/")
+    val chainOk = fetched("atlas://chain/")
+    assert(metaOk.subsetOf(chains) && metaOk.size >= chains.size - 3)
+    assert(oracle.docs.keys.filter(_.startsWith("atlas://meta/"))
+      .map(_.stripPrefix("atlas://meta/")).toSet === metaOk)
+    // duplicate anchors for the same chain (analysis.html) dedup to ONE
+    // dataset record per fetched chain, id = the chain id
+    val atlasDs = oracle.datasets.filter(_.dataset_repository_name == "atlas")
+    assert(atlasDs.map(_.dataset_id_in_repository).toSet === metaOk)
+    assert(atlasDs.size === metaOk.size)
+    assert(atlasDs.forall(_.license.contains("CC-BY-4.0")))
+    // file rows carry REGEX-extracted human-readable sizes parsed to bytes;
+    // decoy anchors (no Download(...) text / non-zip / wrong path) excluded
+    val atlasFiles = oracle.files.filter(_.dataset_repository_name == "atlas")
+    assert(atlasFiles.nonEmpty)
+    assert(atlasFiles.forall(f => f.file_name.endsWith(".zip") &&
+      f.file_size_in_bytes.isDefined))
+    assert(!atlasFiles.exists(f => f.file_name == "raw.zip" ||
+      f.file_name == "readme.txt" || f.file_name == "bundle.zip"))
+    // sizes match the synthetic ground truth — including comma-decimal
+    // link texts ("1,2 GB") normalized before the ByteSize parse
+    val expected = chains.toSeq.flatMap(c =>
+      SyntheticRepo.atlasFileEntries(repo, c).map(f => f.url -> f.sizeBytes))
+      .toMap
+    atlasFiles.foreach(f => assert(
+      f.file_size_in_bytes.contains(expected(f.file_url_in_repository)),
+      s"size mismatch for ${f.file_url_in_repository}"))
+    val commaSized = chainOk.toSeq.flatMap(c =>
+      SyntheticRepo.atlasFileEntries(repo, c)).filter(_.sizeText.contains(","))
+    assert(commaSized.nonEmpty, "config must exercise comma decimal sizes")
   }
 
   test("crawl-order log matches the oracle exactly") {

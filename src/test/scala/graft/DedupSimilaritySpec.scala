@@ -51,6 +51,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(sh(1L) >= 0 && sh(1L) < (1 << 16))
   }
 
+  test("connected components: path-shaped cluster closes in O(log n) rounds") {
+    // a 64-node PATH is plain min-propagation's worst case (64 rounds);
+    // alternating small-star/large-star must close it logarithmically
+    val path = (0 until 63).map(i => (f"d$i%03d", f"d${i + 1}%03d"))
+    val other = Seq(("x1", "x2"), ("x2", "x3")) // second component
+    val edges = (path ++ other).toDF("src", "dst")
+    val (stars, iters) = DedupOps.connectedComponents(edges)
+    val got = stars.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    (1 to 63).foreach(i => assert(got(f"d$i%03d") === "d000"))
+    assert(got("x2") === "x1" && got("x3") === "x1")
+    assert(!got.contains("d000") && !got.contains("x1")) // roots emit no edge
+    assert(iters <= 14, s"path of 64 took $iters rounds (expected ~2·log2)")
+  }
+
+  test("quadratic-twin guard refuses oversized blocks, passes small ones") {
+    val small = Seq((1L, "en"), (2L, "en"), (3L, "fr")).toDF("doc_id", "lang")
+    // passes untouched under the cap
+    assert(DedupOps.requireBoundedBlocks(small, Seq("lang"), "t", "t_lsh",
+      cap = 2L).count() === 3L)
+    // refuses loudly above it, naming the flagship
+    val ex = intercept[IllegalArgumentException] {
+      DedupOps.requireBoundedBlocks(small, Seq("lang"), "t", "t_lsh", cap = 1L)
+    }
+    assert(ex.getMessage.contains("t_lsh"))
+    assert(ex.getMessage.contains("refused"))
+  }
+
   test("cosine: self-similarity 1, orthogonal 0") {
     val e = Seq(
       (1L, Seq(1.0, 0.0, 0.0)),

@@ -48,10 +48,16 @@ class GlacierSpec extends AnyFunSuite {
     val s3 = g.commit(spark, Seq(g.TableWrite("t_rep", df1, g.Replace)))
     assert(g.read(spark, "t_app", Some(s3)).get.count() === 15L)
 
-    // per-partition lineage recorded
+    // per-partition lineage recorded: bytes AND exact per-part row counts
+    // (footer metadata — no scan), parts summing to the delta's rows
     val m = g.manifest(s2)
     assert(m.tables("t_app").partitions.nonEmpty)
     assert(m.tables("t_app").partitions.forall(_.bytes > 0))
+    assert(m.tables("t_app").partitions.forall(_.rows >= 0))
+    assert(m.tables("t_app").partitions.map(_.rows).sum === 5L) // df2 delta
+    assert(m.tables("t_rep").partitions.map(_.rows).sum === 5L)
+    // a thunk-less write's table row count comes from the same footers
+    assert(m.tables("t_rep").rows === 5L)
   }
 
   test("missing table / empty root / unknown snapshot behave") {

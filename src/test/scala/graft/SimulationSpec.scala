@@ -105,8 +105,14 @@ class SimulationSpec extends AnyFunSuite {
     assert(sim.simulation_timesteps_in_fs === Seq(2.0))
     assert(sim.simulation_temperatures_in_kelvin === Seq(300.0))
     assert(sim.total_number_of_atoms === Some(50000L))
-    // non-positive timestep quarantines (shared simulation contract)
+    // a NEGATIVE timestep quarantines (shared simulation contract), but a
+    // FALSY one (0) is `[time_step] if time_step else None` (mddb.py:694):
+    // treated as absent, record kept
     assert(Validators.parseMddbMeta("""{"TIMESTEP":-1}""").isLeft)
+    val zeroTs = Validators.parseMddbMeta("""{"TIMESTEP":0,"TEMP":300}""")
+    assert(zeroTs.isRight)
+    assert(zeroTs.toOption.get.simulation_timesteps_in_fs.isEmpty)
+    assert(zeroTs.toOption.get.simulation_temperatures_in_kelvin === Seq(300.0))
   }
 
   test("validateDataset populates simulation from the raw json or quarantines") {

@@ -1,0 +1,22 @@
+#!/bin/bash
+# North-rule two-cluster-size scaling protocol: interleaved local[8] /
+# local[32] pairs of the IDENTICAL CrawlBench job (same seed/config/plan),
+# best-of-N per level (unloaded-capability estimator under the sandbox's
+# co-tenant noise — see BENCH.md). Usage:
+#   tools/scaling_bench.sh <scale> <pairs> <outfile>
+set -u
+SCALE=${1:-64}
+PAIRS=${2:-3}
+OUT=${3:-/tmp/scaling_${SCALE}.jsonl}
+: > "$OUT"
+for i in $(seq 1 "$PAIRS"); do
+  for CPUS in 8 32; do
+    echo "[pair $i] local[$CPUS] scale=$SCALE ..." >&2
+    SPARK_GRAFT_CPUS=$CPUS SPARK_GRAFT_CRAWL_SCALE=$SCALE \
+      SPARK_DRIVER_MEM=20g SPARK_GRAFT_CRAWL_VERBOSE=1 \
+      sbt -batch "runMain graft.CrawlBench" 2>/tmp/crawlbench_err_${SCALE}_${CPUS}_$i.log \
+      | grep -o '{"metric".*}' >> "$OUT"
+    tail -1 "$OUT" >&2
+  done
+done
+echo "done -> $OUT" >&2
