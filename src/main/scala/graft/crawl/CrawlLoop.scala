@@ -165,6 +165,9 @@ object CrawlLoop {
       .map(_.metrics("round")).getOrElse(0L)
 
     val basename = substring_index($"file_name", "/", -1)
+    val exclLabels: Seq[String] =
+      cu.excludedPathPatterns.map(p => s"in path: $p") ++
+        cu.excludedFilePatterns.map(p => s"starting with: $p")
     val cascade = (cu.excludedPathPatterns.map(p =>
         (contains($"file_name", lit(p)), lit(s"in path: $p"))) ++
       cu.excludedFilePatterns.map(p =>
@@ -172,19 +175,31 @@ object CrawlLoop {
       .foldRight(lit(null).cast("string")) { case ((cond, label), rest) =>
         when(cond, label).otherwise(rest)
       }
-    val labeled = files.withColumn("__excl", cascade)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val exclusionCounts: Map[String, Long] = labeled
-      .filter($"__excl".isNotNull).groupBy($"__excl").count()
-      .as[(String, Long)].collect().toMap
-    val kept = labeled.filter($"__excl".isNull).drop("__excl")
+    // Per-pattern exclusion counts RIDE the files_clean write action
+    // (count_if per static label — the label set is the config, not the
+    // data): no standalone count job, and no full-table cache. The cascade
+    // is a codegen'd column — recomputing it per consumer is a parallel
+    // re-scan, strictly cheaper at scale than materializing the whole
+    // files table into executor storage (the round-2 shape).
+    val obsExcl = Observation("postpass_excl")
+    // always ≥1 aggregate (empty pattern config still needs a valid observe)
+    val exclAggs = count(lit(1)).as("n_files") +:
+      exclLabels.zipWithIndex.map { case (l, i) =>
+        count_if($"__excl" === l).as(s"e_$i")
+      }
+    val keptObs = files.withColumn("__excl", cascade)
+      .observe(obsExcl, exclAggs.head, exclAggs.tail: _*)
+      .filter($"__excl".isNull).drop("__excl")
+    // unobserved twin for the plans that must not re-fire the observation
+    val kept = files.withColumn("__excl", cascade)
+      .filter($"__excl".isNull).drop("__excl")
 
     val fpIds = kept.groupBy($"dataset_id_in_repository")
       .agg(collect_set($"file_type").as("fts"))
       .filter(size(array_intersect($"fts",
         typedLit(cu.mdFileTypes))) === 0)
       .select($"dataset_id_in_repository".as("__fp_id"))
-    val filesNoFp = kept.join(fpIds,
+    val filesNoFp = keptObs.join(fpIds,
       $"dataset_id_in_repository" === $"__fp_id", "left_anti")
     val datasetsClean = datasets.join(fpIds,
       $"dataset_id_in_repository" === $"__fp_id", "left_anti")
@@ -211,12 +226,17 @@ object CrawlLoop {
       g.TableWrite("files_clean",
         filesClean.observe(obsFs, count(lit(1)).as("n")), g.Replace,
         Some(() => obsFs.get("n").asInstanceOf[Number].longValue())),
-    ), metrics = bloomSizing(cfg) ++
-      exclusionCounts.map { case (k, v) => s"excl:$k" -> v } ++ Map(
-        "round" -> lastRound, // resume reads `round` off the latest snapshot
-        "files_excluded" -> exclusionCounts.values.sum,
-      ), note = "post-pass")
-    labeled.unpersist(blocking = false)
+    ), metrics = {
+      def m(i: Int): Long =
+        obsExcl.get(s"e_$i").asInstanceOf[Number].longValue()
+      val exclusionCounts = exclLabels.indices.map(i => exclLabels(i) -> m(i))
+        .filter(_._2 > 0) // only patterns that HIT, like the reference log
+      bloomSizing(cfg) ++
+        exclusionCounts.map { case (k, v) => s"excl:$k" -> v } ++ Map(
+          "round" -> lastRound, // resume reads `round` off the latest snapshot
+          "files_excluded" -> exclusionCounts.map(_._2).sum,
+        )
+    }, note = "post-pass")
   }
 
   /** One BSP round: drain → fetch → parse → dedup → snapshot. */

@@ -148,13 +148,24 @@ final class Glacier(val root: String) {
     val written: Map[String, TableState] = writes.map { w =>
       val dir = s"${dataDir(newId)}/${w.table}"
       val local = Paths.get(dir)
-      val parts = scala.util.Using.resource(Files.list(local)) { stream =>
+      val paths = scala.util.Using.resource(Files.list(local)) { stream =>
         stream.iterator().asScala
           .filter(_.getFileName.toString.endsWith(".parquet"))
-          .map(p => FileEntry(p.getFileName.toString, Files.size(p),
-            parquetRowCount(p)))
-          .toList.sortBy(_.path)
+          .toList
       }
+      // footer reads are independent local metadata reads — run them on a
+      // small pool (serially they add ~10 ms × parts × tables to every
+      // round's commit floor)
+      val parts = {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.max(1, math.min(8, paths.size)))
+        try {
+          val tasks: Seq[java.util.concurrent.Callable[FileEntry]] =
+            paths.map(p => () => FileEntry(p.getFileName.toString,
+              Files.size(p), parquetRowCount(p)))
+          pool.invokeAll(tasks.asJava).asScala.map(_.get()).toList
+        } finally pool.shutdown()
+      }.sortBy(_.path)
       // caller-known count (a thunk, so Observation-backed metrics fired
       // by this very write can supply it), else the sum of per-part footer
       // counts — driver-local metadata reads, NO Spark job either way

@@ -12,10 +12,11 @@ OUT=${3:-/tmp/scaling_${SCALE}.jsonl}
 for i in $(seq 1 "$PAIRS"); do
   for CPUS in 8 32; do
     echo "[pair $i] local[$CPUS] scale=$SCALE ..." >&2
+    RUNLOG=/tmp/crawlbench_${SCALE}_${CPUS}_$i.log
     SPARK_GRAFT_CPUS=$CPUS SPARK_GRAFT_CRAWL_SCALE=$SCALE \
-      SPARK_DRIVER_MEM=20g SPARK_GRAFT_CRAWL_VERBOSE=1 \
-      sbt -batch "runMain graft.CrawlBench" 2>/tmp/crawlbench_err_${SCALE}_${CPUS}_$i.log \
-      | grep -o '{"metric".*}' >> "$OUT"
+      SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-20g} SPARK_GRAFT_CRAWL_VERBOSE=1 \
+      sbt -batch "runMain graft.CrawlBench" > "$RUNLOG" 2>&1
+    grep -o '{"metric".*}' "$RUNLOG" >> "$OUT"
     tail -1 "$OUT" >&2
   done
 done
