@@ -417,13 +417,19 @@ object DedupOps {
     * nothing. On a real cluster swap localCheckpoint for a reliable
     * `checkpoint` dir to survive executor loss on long chains.
     */
-  def connectedComponents(edges: DataFrame): (DataFrame, Int) = {
-    var e = edges
+  def connectedComponents(edges: DataFrame): (DataFrame, Int) =
+    connectedComponentsCanonical(edges
       .select(greatest(col("src"), col("dst")).as("src"),
               least(col("src"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
+
+  /** Fast path when the caller guarantees edges are already canonical
+    * (src > dst) and distinct — e.g. LSH candidate pairs, which arrive as
+    * distinct (doc_a < doc_b) rows — skipping one full shuffle+distinct
+    * of the initial (largest) edge set. */
+  def connectedComponentsCanonical(edges: DataFrame): (DataFrame, Int) = {
+    var e = edges.localCheckpoint(true)
     def sig(d: DataFrame): (Long, java.math.BigDecimal) = {
       val r = d.agg(count(lit(1)).as("n"),
         coalesce(sum(xxhash64(col("src"), col("dst"))
@@ -452,9 +458,11 @@ object DedupOps {
                               dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     // cached: the star contraction re-reads the edge set every iteration
+    // pairs are distinct with doc_a < doc_b — already canonical edges
+    // (src = the larger id) for the star contraction
     val pairs = minhashCandidatePairs(docs, "text", "doc_id")
-      .select(col("doc_a").as("src"), col("doc_b").as("dst")).persist()
-    val (stars, _) = connectedComponents(pairs)
+      .select(col("doc_b").as("src"), col("doc_a").as("dst")).persist()
+    val (stars, _) = connectedComponentsCanonical(pairs)
     pairs.unpersist(blocking = false)
     docs.select(col("doc_id"))
       .join(stars.select(col("src").as("doc_id"), col("dst").as("__c")),
