@@ -145,5 +145,122 @@ object TextAnalysis {
         md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
         FROM documents ORDER BY doc_id"""),
     ),
+    // ---- deterministic train/val/test split -------------------------------
+    // Content-addressed split: bucket = md5-head of a salted id, mod 100 —
+    // stable under re-runs, re-partitioning and corpus growth (a given doc
+    // never migrates), the standard way a 100 TB corpus is split without a
+    // shuffle or a global sort. Pure per-row arithmetic.
+    QueryEntry(
+      "q_train_split",
+      (s, dir) => {
+        val bucket = pmod(
+          conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 8),
+            16, 10).cast("long"), lit(100L))
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          bucket.as("bucket"),
+          when(bucket < 90, "train").when(bucket < 95, "validation")
+            .otherwise("test").as("split"),
+        ).orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id,
+            CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 100
+              AS bucket FROM documents)
+          SELECT doc_id, bucket,
+            CASE WHEN bucket < 90 THEN 'train'
+                 WHEN bucket < 95 THEN 'validation'
+                 ELSE 'test' END AS split
+          FROM b ORDER BY doc_id"""),
+    ),
+    // ---- PII scrubbing ------------------------------------------------------
+    // Email + phone redaction before training. Bodies are synthesized with
+    // planted PII (every doc an email, every 3rd a phone) so the oracle
+    // genuinely checks the redaction, not a no-op. Patterns kept inside the
+    // RE2 ∩ Java-regex subset so both engines compile them identically.
+    QueryEntry(
+      "q_pii_scrub",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val content = concat(
+          lit("contact user"), pmod(col("doc_id"), lit(997)),
+          lit("@example"), pmod(col("doc_id"), lit(7)), lit(".org "),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("tel +1-555-"),
+              format_string("%04d", pmod(col("doc_id"), lit(10000))),
+              lit(" "))).otherwise(lit("")),
+          col("text"))
+        val scrubbed = regexp_replace(
+          regexp_replace(content,
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "\\+[0-9][0-9\\-]{6,}[0-9]", "<PHONE>")
+        d.select(col("doc_id"), scrubbed.as("scrubbed"),
+            (length(content) - length(scrubbed)).cast("long").as("redacted_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH src AS (SELECT doc_id,
+            'contact user' || (doc_id % 997) || '@example' || (doc_id % 7)
+              || '.org ' ||
+            (CASE WHEN doc_id % 3 = 0
+              THEN 'tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' '
+              ELSE '' END) || text AS content
+          FROM documents),
+        scr AS (SELECT doc_id, content,
+            regexp_replace(
+              regexp_replace(content,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\+[0-9][0-9\-]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
+          FROM src)
+        SELECT doc_id, scrubbed,
+          CAST(len(content) - len(scrubbed) AS BIGINT) AS redacted_chars
+        FROM scr ORDER BY doc_id"""),
+    ),
+    // ---- repetition filter (Gopher-style) -----------------------------------
+    // Duplicate-line fraction + top-word share over a synthesized multi-line
+    // body (every 4th doc gets a repeated line). Pure HOF arithmetic per
+    // row — the per-word count is quadratic in DISTINCT words per doc,
+    // bounded by the line count, not the corpus.
+    QueryEntry(
+      "q_repetition_filter",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        // 4 segments per doc (token "seg<(doc_id·i) mod 13>"); every 4th doc
+        // repeats its first segment; docs with doc_id ≡ 0 (mod 13) collapse
+        // to ONE repeated segment — both metrics genuinely vary
+        val segOf = (i: Column) =>
+          concat(lit("seg"), pmod(col("doc_id") * i, lit(13)))
+        val dupSeg = when(pmod(col("doc_id"), lit(4)) === 0,
+          array(segOf(lit(1)))).otherwise(array().cast("array<string>"))
+        val segs = concat(
+          transform(sequence(lit(1), lit(4)), i => segOf(i)), dupSeg)
+        val n = size(segs).cast("double")
+        val dupFrac = lit(1.0) - size(array_distinct(segs)).cast("double") / n
+        val topShare = array_max(transform(array_distinct(segs),
+          w => size(filter(segs, x => x === w)))).cast("double") / n
+        d.select(col("doc_id"),
+            size(segs).cast("long").as("n_segments"),
+            dupFrac.as("dup_frac"),
+            topShare.as("top_segment_share"))
+          .withColumn("keep",
+            col("dup_frac") <= 0.1 && col("top_segment_share") <= 0.35)
+          .orderBy("doc_id")
+      },
+      Some("""WITH src AS (SELECT doc_id,
+            list_concat(
+              list_transform(range(1, 5), i -> 'seg' || ((doc_id * i) % 13)),
+              CASE WHEN doc_id % 4 = 0
+                THEN ['seg' || (doc_id % 13)] ELSE [] END) AS segs
+          FROM documents),
+        m AS (SELECT doc_id, segs,
+            1.0 - CAST(len(list_distinct(segs)) AS DOUBLE)
+                / CAST(len(segs) AS DOUBLE) AS dup_frac,
+            CAST(list_max(list_transform(list_distinct(segs),
+                w -> len(list_filter(segs, x -> x = w)))) AS DOUBLE)
+              / CAST(len(segs) AS DOUBLE) AS top_segment_share
+          FROM src)
+        SELECT doc_id, CAST(len(segs) AS BIGINT) AS n_segments,
+          dup_frac, top_segment_share,
+          dup_frac <= 0.1 AND top_segment_share <= 0.35 AS keep
+        FROM m ORDER BY doc_id"""),
+    ),
   )
 }
