@@ -15,6 +15,7 @@ object SparkEntry {
       operators.DedupOps.entries ++
       operators.SimilarityOps.entries ++
       operators.TextAnalysis.entries ++
+      operators.TemporalJoins.entries ++
       operators.SpanOps.entries ++
       operators.MultimodalOps.entries ++
       operators.FileParsers.entries ++
