@@ -32,6 +32,8 @@ object Politeness {
     "mddb" -> HostPolicy(300),
     // GPCRmd: 0.1 s sleep per request (scripts/scrape_gpcrmd.py:156,480)
     "gpcrmd" -> HostPolicy(600),
+    // ATLAS: 0.5 s delay before every request (atlas.py:154,245,324)
+    "atlas" -> HostPolicy(120),
   )
 
   /** Tokens each host may spend in one round of `roundMinutes` simulated
