@@ -37,9 +37,36 @@ object DedupOps {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature i: lexicographic min of md5(i:shingle). */
+  /** MinHash signature i: lexicographic min of md5(i:shingle) — the
+    * composable-column form (what the DuckDB oracle mirrors and the
+    * fused-expression golden test compares against). */
   def minhashSig(shingleCol: Column, i: Int): Column =
     array_min(transform(shingleCol, x => md5(concat(lit(s"$i:"), x))))
+
+  /** ALL `NumHashes` signatures in one pass via the native Catalyst
+    * expression [[graft.functions.MinhashSignature]] (registered
+    * per-session, idempotent): bit-identical to `minhashSig(sh, i)` per
+    * lane, one array traversal instead of eight. */
+  def minhashSigArray(spark: org.apache.spark.sql.SparkSession,
+                      shingleCol: Column): Column = {
+    registerFused(spark)
+    call_function("graft_minhash_sig", shingleCol, lit(NumHashes))
+  }
+
+  private def registerFused(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    val id = FunctionIdentifier("graft_minhash_sig")
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(id)) reg.registerFunction(
+      id,
+      new ExpressionInfo("graft.functions.MinhashSignature",
+        "graft_minhash_sig"),
+      (children: Seq[Expression]) => graft.functions.MinhashSignature(
+        children.head,
+        children(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .asInstanceOf[Number].intValue()))
+  }
 
   /** 16-bit SimHash from the per-word md5 hex digits: bit i is set iff the
     * count of words whose i-th hex digit has its high bit set exceeds the
@@ -89,11 +116,12 @@ object DedupOps {
     */
   def minhashCandidatePairs(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val sh = shingles(col(textCol))
-    val sigs = (0 until NumHashes).map(i => minhashSig(sh, i).as(s"sig_$i"))
     val withSig = docs.filter(size(sh) > 0)
-      .select(col(idCol).as("doc"), struct(sigs: _*).as("sig"))
+      .select(col(idCol).as("doc"),
+        minhashSigArray(docs.sparkSession, sh).as("sig"))
     val bands = (0 until NumHashes / BandRows).map { b =>
-      val parts = (0 until BandRows).map(r => col(s"sig.sig_${b * BandRows + r}"))
+      val parts = (0 until BandRows).map(r =>
+        element_at(col("sig"), b * BandRows + r + 1))
       struct(lit(b).as("band_idx"), md5(concat(parts: _*)).as("band_hash"))
     }
     val exploded = withSig.select(col("doc"), explode(array(bands: _*)).as("band"))
@@ -154,10 +182,11 @@ object DedupOps {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val sh = shingles(col("text"))
+        val withArr = docs.filter(size(sh) > 0)
+          .select(col("doc_id"), minhashSigArray(s, sh).as("__sigs"))
         val sigs = (0 until NumHashes)
-          .map(i => minhashSig(shingles(col("text")), i).as(s"sig_$i"))
-        docs.filter(size(sh) > 0)
-          .select(col("doc_id") +: sigs: _*)
+          .map(i => element_at(col("__sigs"), i + 1).as(s"sig_$i"))
+        withArr.select(col("doc_id") +: sigs: _*)
           .orderBy("doc_id")
       },
       Some {

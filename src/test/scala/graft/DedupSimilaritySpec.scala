@@ -33,6 +33,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(dupGroup.getLong(2) === 2L) // docs 1 and 2 collapse
   }
 
+  test("fused minhash expression == composable per-perm columns, bit-exact") {
+    // the native one-pass Catalyst expression must reproduce
+    // array_min(transform(sh, x => md5('p:' || x))) for every permutation —
+    // the form the DuckDB oracle mirrors
+    val sh = DedupOps.shingles(col("text"))
+    val rows = docs.filter(size(sh) > 0)
+      .select(col("doc_id"),
+        DedupOps.minhashSigArray(spark, sh).as("fused"),
+        array((0 until 8).map(i => DedupOps.minhashSig(sh, i)): _*)
+          .as("composed"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) === r.getSeq[String](2),
+        s"doc ${r.getLong(0)}")
+    }
+    // empty shingle array → null lanes (array_min-of-empty semantics)
+    val empty = Seq((9L, "ab")).toDF("doc_id", "text")
+      .select(DedupOps.minhashSigArray(spark,
+        DedupOps.shingles(col("text"))).as("s")).collect()(0).getSeq[String](0)
+    assert(empty.length === 8 && empty.forall(_ == null))
+    // interpreted eval path (no codegen) agrees with the kernel
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = new GenericArrayData(Array[Any](
+      UTF8String.fromString("a b c"), UTF8String.fromString("b c d")))
+    val direct = graft.functions.MinhashSignature.compute(arr, 2)
+    assert(direct.numElements() === 2)
+    assert(direct.getUTF8String(0).toString.matches("[0-9a-f]{32}"))
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated docs") {
     val pairs = DedupOps.minhashCandidatePairs(docs, "text", "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
