@@ -138,5 +138,55 @@ object TemporalJoins {
           GROUP BY e.event_id, e.user_id, e.ts_us
           ORDER BY e.event_id"""),
     ),
+    // ---- sessionization: 30-min-gap sessions per user --------------------
+    // lag + running sum of session-start flags — ONE shuffle on user_id,
+    // both windows share the partitioning; session rollup rides a partial
+    // agg. The canonical event-stream shaping op for behavioral corpora.
+    QueryEntry(
+      "q_sessionize",
+      (s, dir) => {
+        val gap = 1800L * 1000000L
+        val ev = t(s, dir, "events")
+          .select(col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+            col("event_id"), col("value"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+        val newSession = when(
+          lag(col("ts_us"), 1).over(w).isNull ||
+            col("ts_us") - lag(col("ts_us"), 1).over(w) > gap, 1L)
+          .otherwise(0L)
+        ev.withColumn("session_id",
+            sum(newSession).over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts_us")).as("start_us"),
+            max(col("ts_us")).as("end_us"),
+            sum(col("value").cast("decimal(28,6)")).cast("double")
+              .as("total_value"))
+          .withColumn("duration_us", col("end_us") - col("start_us"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+              FROM events),
+            f AS (SELECT *,
+              CASE WHEN lag(ts_us) OVER w IS NULL
+                     OR ts_us - lag(ts_us) OVER w > 1800000000
+                   THEN 1 ELSE 0 END AS new_session
+              FROM e WINDOW w AS (PARTITION BY user_id
+                ORDER BY ts_us, event_id)),
+            g AS (SELECT *,
+              CAST(sum(new_session) OVER (PARTITION BY user_id
+                ORDER BY ts_us, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM f)
+          SELECT user_id, session_id, count(*) AS n_events,
+            min(ts_us) AS start_us, max(ts_us) AS end_us,
+            CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+            max(ts_us) - min(ts_us) AS duration_us
+          FROM g GROUP BY user_id, session_id
+          ORDER BY user_id, session_id"""),
+    ),
   )
 }
