@@ -22,6 +22,7 @@ object SparkEntry {
       operators.SimulationOps.entries ++
       operators.AnalyzeOps.entries ++
       sources.NmrLipidsSource.entries ++
+      plans.TopKPerKey.entries ++
       operators.CrawlQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

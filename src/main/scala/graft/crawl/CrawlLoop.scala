@@ -12,7 +12,7 @@ import graft.tables.Glacier
   * frontier, implementing [[CrawlSpec]] exactly (every parity test compares
   * against [[ReferenceCrawl]]). One round =
   *
-  *   drain priority queue (per-host budget, two-phase salted ranking)
+  *   drain priority queue (per-host budget, custom TopKPerKey operator)
   *   → fetch (`mapPartitions`, salted-host partitioning — no hot-host
   *     straggler partitions)
   *   → parse spans → validate (quarantine counts, drop-and-log semantics)
@@ -30,11 +30,11 @@ import graft.tables.Glacier
   * continues from round N+1 with identical final state (tested).
   *
   * Scale notes (10^10-URL design):
-  *  - Frontier drain sorts only O(salts × budget) candidates per host, not
-  *    the whole pending set: phase 1 ranks within (host, salt) partitions
-  *    — parallel, skew-free — and keeps `rank ≤ budget`; phase 2 ranks the
-  *    surviving ≤ salts×budget rows per host exactly. A hot host (Zenodo
-  *    with 10^9 pending) never serializes a sort on one partition.
+  *  - Frontier drain never sorts the pending set at all: the TopKPerKey
+  *    partial pass bounds every partition to ≤budget rows per host with
+  *    in-place heaps, then one exchange on host feeds the final heaps. A
+  *    hot host (Zenodo with 10^9 pending) never serializes a sort on one
+  *    partition — and never shuffles more than partitions×budget rows.
   *  - The global `seqInRound` window orders ≤ Σ budget rows per round —
   *    politeness-bounded, so bounded regardless of frontier size.
   *  - Seen-set: Bloom shards route; the exact table is authoritative
@@ -458,11 +458,21 @@ object CrawlLoop {
     * (score desc, discovery seq asc), with a global 1-based `seqInRound`
     * over the selected set — the round's logical fetch order.
     *
-    * Two-phase exact top-k: phase 1 ranks within (host, salt) partitions —
-    * parallel and skew-free, any true top-k row is in its salt's top-k —
-    * pruning the sort problem to ≤ salts×budget rows per host; phase 2
-    * ranks those exactly. A hot host with 10^9 pending never serializes a
-    * full sort on one partition (north-rule skew handling).
+    * Planned as the custom Catalyst operator [[graft.plans.TopKPerKey]]
+    * with the per-host budget as the key-constant limit expression: the
+    * partial pass bounds EVERY input partition to ≤budget rows per host
+    * in place with bounded heaps (no sort, no shuffle — this subsumes
+    * the round-2 salted two-phase ranking, which paid an extra shuffle
+    * for the same skew kill), then ONE exchange on `host` feeds the
+    * final heaps. A hot host with 10^9 pending rows never serializes a
+    * full sort on one partition (north-rule skew handling), and the
+    * frontier crosses the wire at most once, pre-pruned to
+    * ≤ partitions×budget rows per host. Selection is identical to the
+    * window form because `priority` is a total order (unique minted
+    * discovery seq) — FrontierSpec pins it against a brute-force oracle.
+    *
+    * The `salts` parameter is retained for call-site compatibility; the
+    * partial pass makes explicit salting unnecessary.
     *
     * The returned DataFrame reads from an internal cache (the global
     * numbering needs two passes); call the second element to release it
@@ -471,15 +481,8 @@ object CrawlLoop {
   def drainSelectManaged(frontier: DataFrame, hostBudget: Map[String, Int],
                          salts: Int): (DataFrame, () => Unit) = {
     val budget = coalesce(element_at(typedLit(hostBudget), col("host")), lit(0))
-    val salted = frontier.withColumn("salt",
-      pmod(xxhash64(col("url")), lit(salts.toLong)).cast("int"))
-    val w1 = Window.partitionBy(col("host"), col("salt")).orderBy(priority: _*)
-    val cand = salted.withColumn("r1", row_number().over(w1))
-      .filter(col("r1") <= budget)
-    val w2 = Window.partitionBy(col("host")).orderBy(priority: _*)
-    val selected = cand.withColumn("rk", row_number().over(w2))
-      .filter(col("rk") <= budget)
-      .drop("salt", "r1", "rk")
+    val selected =
+      graft.plans.TopKPerKey(frontier, Seq(col("host")), priority, budget)
     assignGlobalSeq(selected)
   }
 

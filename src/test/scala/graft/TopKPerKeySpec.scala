@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.TopKPerKey
+
+/** The custom Catalyst top-k operator must (a) agree row-for-row with the
+  * window `row_number` reference, (b) plan as partial→one-exchange→final
+  * with no sort and no WindowExec, and (c) fire its optimizer rewrite on
+  * the pruned rank-filter idiom — and only on it.
+  *
+  * Plan-shape assertions are string-based: AQE wraps the physical plan in
+  * a leaf AdaptiveSparkPlanExec, so `collect` can't traverse it, but the
+  * tree string renders the full current plan.
+  */
+class TopKPerKeySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+
+  // Deterministic synthetic frontier: total ordering via unique id.
+  private def frontier = {
+    import spark.implicits._
+    (0 until 4000).map { i =>
+      val host = Seq("zenodo", "figshare", "osf", "nomad", "atlas")(i % 5)
+      (host, i, (i * 2654435761L % 97).toDouble)
+    }.toDF("host", "id", "score").repartition(8, col("id"))
+  }
+
+  private def windowRef(k: Int) = {
+    val w = Window.partitionBy("host").orderBy(col("score").desc, col("id").asc)
+    frontier.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
+  private def collectSorted(df: org.apache.spark.sql.DataFrame) =
+    df.select("host", "id", "score").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).sortBy(t => (t._1, t._2))
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("constant k agrees with window row_number reference") {
+    val got = TopKPerKey(frontier, Seq(col("host")),
+      Seq(col("score").desc, col("id").asc), 17)
+    assert(collectSorted(got) === collectSorted(windowRef(17)))
+  }
+
+  test("k larger than every group passes all rows through") {
+    val got = TopKPerKey(frontier, Seq(col("host")),
+      Seq(col("score").desc, col("id").asc), 100000)
+    assert(got.count() === 4000)
+  }
+
+  test("per-key budget expression: map lookup, missing host drops rows") {
+    val budgets = typedLit(Map("zenodo" -> 10, "figshare" -> 3, "osf" -> 0))
+    val got = TopKPerKey(frontier, Seq(col("host")),
+      Seq(col("score").desc, col("id").asc),
+      element_at(budgets, col("host"))) // null for nomad/atlas
+    val byHost = got.groupBy("host").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byHost === Map("zenodo" -> 10L, "figshare" -> 3L))
+
+    // Values must match the window reference restricted to budgeted hosts.
+    val w = Window.partitionBy("host").orderBy(col("score").desc, col("id").asc)
+    val ref = frontier.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= element_at(budgets, col("host"))).drop("rn")
+    assert(collectSorted(got) === collectSorted(ref))
+  }
+
+  test("plan: partial below one exchange below final; no sort, no window") {
+    val got = TopKPerKey(frontier, Seq(col("host")),
+      Seq(col("score").desc, col("id").asc), 5)
+    val s = planString(got)
+    assert("TopKPerKeyFinal".r.findAllIn(s).size === 1, s)
+    assert("TopKPerKeyPartial".r.findAllIn(s).size === 1, s)
+    // two exchanges total: the test repartition(8) plus the top-k shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(s).size === 2, s)
+    assert(!s.contains("WindowExec") && !s.contains("Sort "), s)
+  }
+
+  test("optimizer rule rewrites pruned row_number filter to TopKPerKeyNode") {
+    TopKPerKey.register(spark)
+    val df = windowRef(9) // Project drops rn above Filter(rn<=9) above Window
+    val s = planString(df)
+    assert(s.contains("TopKPerKeyFinal"), s"rewrite did not fire:\n$s")
+    assert(!s.contains("Window ") && !s.contains("RunningWindowFunction"), s)
+    assert(collectSorted(df) === collectSorted(windowRef(9)))
+  }
+
+  test("rewrite does NOT fire when the rank column survives") {
+    TopKPerKey.register(spark)
+    val w = Window.partitionBy("host").orderBy(col("score").desc, col("id").asc)
+    val df = frontier.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+    val s = planString(df)
+    assert(!s.contains("TopKPerKeyFinal"), s)
+    assert(s.contains("Window"), s)
+  }
+
+  test("residual non-rank predicates are preserved") {
+    TopKPerKey.register(spark)
+    val w = Window.partitionBy("host").orderBy(col("score").desc, col("id").asc)
+    val df = frontier.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 6 && col("score") > 10).drop("rn")
+    val ref = frontier.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 6).filter(col("score") > 10).drop("rn")
+    assert(planString(df).contains("TopKPerKeyFinal"))
+    assert(collectSorted(df) === collectSorted(ref))
+  }
+
+  test("empty input and k<=0 yield empty output") {
+    val empty = frontier.filter(col("id") < 0)
+    assert(TopKPerKey(empty, Seq(col("host")), Seq(col("id").asc), 3).count() === 0)
+    assert(TopKPerKey(frontier, Seq(col("host")), Seq(col("id").asc), lit(0)).count() === 0)
+  }
+}
