@@ -1,6 +1,6 @@
 package graft.plans
 
-import java.util.{HashMap => JHashMap, PriorityQueue => JPriorityQueue}
+import java.util.{HashMap => JHashMap}
 
 import scala.jdk.CollectionConverters._
 
@@ -37,8 +37,8 @@ import org.apache.spark.sql.types.IntegerType
   *    leaves each partition with ≤k of them — the round-2 salted
   *    two-phase drain did this with an extra shuffle), then ONE shuffle
   *    on the keys moves ≤ partitions×k rows per key into the final heap.
-  *    Nothing sorts more than k elements at once, and the full-row sort
-  *    of the survivors is k·log k per key.
+  *    Nothing is ever sorted — output order within a key is unspecified
+  *    (see [[TopKHeaps.topK]]).
   *
   * `limit` is an [[Expression]] evaluated against each row, so the k may
   * vary per key (the drain's per-host budget map); it must be constant
@@ -71,55 +71,128 @@ case class TopKPerKeyNode(
   * tests) share one implementation.
   */
 object TopKHeaps {
-  /** Max-heap over the *kept* set: the head is the worst kept row, so a
-    * better candidate evicts in O(log k). */
+  /** Bounded keeper of the k first rows under `ord`, with LAZY
+    * heapification: below capacity it only appends (one row copy, zero
+    * comparisons), so when k is of the order of the group size — the
+    * politeness-bounded drain bench regime, where the round selects most
+    * of the frontier and nothing can prune — the cost degenerates to a
+    * plain collect (one copy per row, zero comparisons), NOT n·log k
+    * heap churn with per-row eviction. Only once full does it heapify
+    * (O(k), once) and start the classic replace-worst-in-O(log k)
+    * regime that wins when n ≫ k. */
   private final class KeyHeap(k: Int, ord: Ordering[InternalRow]) {
-    private val heap =
-      new JPriorityQueue[InternalRow](math.max(1, math.min(k, 64)), ord.reverse)
+    private var arr = new Array[InternalRow](math.max(1, math.min(k, 16)))
+    private var n = 0
+    private var heapified = false
+
     def offer(row: InternalRow): Unit =
-      if (heap.size < k) heap.add(row.copy())
-      else if (ord.compare(row, heap.peek()) < 0) { heap.poll(); heap.add(row.copy()) }
-    def drain(sorted: Boolean, ordAsc: Ordering[InternalRow]): Iterator[InternalRow] =
-      if (!sorted) heap.iterator().asScala
-      else {
-        val arr = heap.toArray(new Array[InternalRow](heap.size))
-        java.util.Arrays.sort(arr, ordAsc)
-        arr.iterator
+      if (n < k) {
+        if (n == arr.length)
+          arr = java.util.Arrays.copyOf(arr, math.min(k.toLong, arr.length * 2L).toInt)
+        arr(n) = row.copy(); n += 1
+      } else {
+        if (!heapified) { heapify(); heapified = true }
+        if (ord.compare(row, arr(0)) < 0) { arr(0) = row.copy(); siftDown(0) }
       }
+
+    // max-heap on `ord`: arr(0) is the worst kept row
+    private def heapify(): Unit = {
+      var i = n / 2 - 1
+      while (i >= 0) { siftDown(i); i -= 1 }
+    }
+    private def siftDown(i0: Int): Unit = {
+      var i = i0
+      val half = n / 2
+      val top = arr(i)
+      while (i < half) {
+        var c = 2 * i + 1
+        if (c + 1 < n && ord.compare(arr(c + 1), arr(c)) > 0) c += 1
+        if (ord.compare(arr(c), top) <= 0) { arr(i) = top; return }
+        arr(i) = arr(c); i = c
+      }
+      arr(i) = top
+    }
+
+    def drain(): Iterator[InternalRow] = arr.iterator.take(n)
   }
 
-  /** `sortedEmit` controls whether each key's survivors stream out in
-    * sort order (final exec) or heap order (partial — the shuffle
-    * destroys order anyway, so skip the k·log k). */
+  /** Output order within a key is UNSPECIFIED (matching Spark's own
+    * group-limit operators): every consumer either re-sorts on its own
+    * key (the drain's global numbering range-sorts by priority) or is
+    * order-insensitive, so a per-key k·log k emit sort would be pure
+    * waste in both passes.
+    *
+    * `maxKeys` is the partial pass's memory valve: once the heap map
+    * holds that many distinct keys, rows of NEW keys stream through
+    * unpruned (already-tracked keys keep pruning). The partial pass is
+    * an optimization — any superset is correct, the final pass is exact
+    * — so degradation under extreme key cardinality (e.g. the
+    * first-wins URL dedup the rewrite rule captures, where keys ≈ rows)
+    * costs shuffle volume, never correctness or unbounded memory. The
+    * final pass runs with `maxKeys = MaxValue`: it must group fully,
+    * giving it the memory envelope of a hash aggregation over its
+    * partition's keys×k survivors (per-key k is small by construction
+    * for budget-style workloads; a spill-to-sort fallback like
+    * HashAggregate's is the named future hardening for k·keys beyond
+    * memory).
+    */
   def topK(
       iter: Iterator[InternalRow],
       keys: Seq[Expression],
       order: Seq[SortOrder],
       limit: Expression,
       input: Seq[Attribute],
-      sortedEmit: Boolean): Iterator[InternalRow] = {
+      maxKeys: Int = Int.MaxValue): Iterator[InternalRow] = {
     if (iter.isEmpty) return Iterator.empty
     val keyProj = UnsafeProjection.create(keys, input)
     val limitProj = UnsafeProjection.create(Seq(Cast(limit, IntegerType)), input)
     val ord = RowOrdering.create(order, input)
     val heaps = new JHashMap[UnsafeRow, KeyHeap]()
-    while (iter.hasNext) {
-      val row = iter.next()
-      val lim = limitProj(row)
-      val k = if (lim.isNullAt(0)) 0 else lim.getInt(0)
-      if (k > 0) {
-        val key = keyProj(row)
-        var h = heaps.get(key)
-        if (h == null) { h = new KeyHeap(k, ord); heaps.put(key.copy(), h) }
-        h.offer(row)
+    // Manual two-phase iterator (no per-row closure/Option allocation in
+    // the hot loop): phase 1 streams the input, pruning into heaps and
+    // emitting overflow-key rows straight through (borrowed rows are safe
+    // to emit — consumed before the next input row is read); phase 2
+    // drains the heaps once the input is exhausted.
+    new Iterator[InternalRow] {
+      private var pending: InternalRow = null
+      private var drainIt: Iterator[InternalRow] = null
+
+      private def advance(): Unit = {
+        while (iter.hasNext) {
+          val row = iter.next()
+          val lim = limitProj(row)
+          val k = if (lim.isNullAt(0)) 0 else lim.getInt(0)
+          if (k > 0) {
+            val key = keyProj(row)
+            val h = heaps.get(key)
+            if (h != null) h.offer(row)
+            else if (heaps.size < maxKeys) {
+              val nh = new KeyHeap(k, ord)
+              heaps.put(key.copy(), nh)
+              nh.offer(row)
+            } else { pending = row; return }
+          }
+        }
+        if (drainIt == null)
+          drainIt = heaps.values.iterator().asScala.flatMap(_.drain())
       }
+
+      override def hasNext: Boolean = {
+        if (pending == null && drainIt == null) advance()
+        pending != null || drainIt.hasNext
+      }
+      override def next(): InternalRow =
+        if (pending != null) { val r = pending; pending = null; r }
+        else { if (!hasNext) Iterator.empty.next(); drainIt.next() }
     }
-    heaps.values.iterator().asScala.flatMap(_.drain(sortedEmit, ord))
   }
 }
 
 /** Map-side pass: bounds every partition to ≤k rows per key in place —
-  * no sort, no shuffle. Mirrors partial aggregation. */
+  * no sort, no shuffle. Mirrors partial aggregation, including its
+  * bounded-memory degradation: past `spark.graft.topk.maxPartialKeys`
+  * distinct keys per task (default 2^20), new keys stream through to the
+  * exchange unpruned (see [[TopKHeaps.topK]]). */
 case class TopKPerKeyPartialExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
@@ -129,8 +202,10 @@ case class TopKPerKeyPartialExec(
   override def outputPartitioning = child.outputPartitioning
   override protected def doExecute(): RDD[InternalRow] = {
     val (ks, os, lim, in) = (keys, order, limit, child.output)
+    val maxKeys = conf.getConfString(
+      "spark.graft.topk.maxPartialKeys", (1 << 20).toString).toInt
     child.execute().mapPartitions(
-      TopKHeaps.topK(_, ks, os, lim, in, sortedEmit = false),
+      TopKHeaps.topK(_, ks, os, lim, in, maxKeys),
       preservesPartitioning = true)
   }
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyPartialExec =
@@ -138,7 +213,7 @@ case class TopKPerKeyPartialExec(
 }
 
 /** Reduce-side pass: requires clustering on the keys (the planner
-  * inserts the single exchange), emits each key's top-k in sort order. */
+  * inserts the single exchange), emits each key's exact top-k. */
 case class TopKPerKeyFinalExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
@@ -152,7 +227,7 @@ case class TopKPerKeyFinalExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val (ks, os, lim, in) = (keys, order, limit, child.output)
     child.execute().mapPartitions(
-      TopKHeaps.topK(_, ks, os, lim, in, sortedEmit = true),
+      TopKHeaps.topK(_, ks, os, lim, in),
       preservesPartitioning = true)
   }
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyFinalExec =
@@ -183,6 +258,14 @@ object TopKPerKeyStrategy extends SparkStrategy {
   * keep ties and can exceed k rows). Runs in the user-rule batch, i.e.
   * after `InferWindowGroupLimit` may have inserted its node — that
   * helper is stripped along with the Window.
+  *
+  * Gated to `k ≥ spark.graft.topk.rewriteMinK` (default 2): at k=1 the
+  * idiom is usually a first-wins dedup over a near-unique key (the
+  * crawl's in-round URL dedup), where hash-grouping every key loses ~2×
+  * to the window's radix sort (measured, DrainProbe) and nothing can
+  * prune — and the rule has no cardinality estimate to tell that apart
+  * from a heavy-group argmin, so it stays conservative. Workloads with
+  * few heavy groups can set the conf to 1.
   */
 object RewriteRankLimitToTopK extends Rule[LogicalPlan] with PredicateHelper {
   private def limitOf(e: Expression, rn: Attribute): Option[Int] = e match {
@@ -214,7 +297,8 @@ object RewriteRankLimitToTopK extends Rule[LogicalPlan] with PredicateHelper {
       val ks = rankPreds.flatMap(limitOf(_, rn))
       val deadRank = !projList.exists(_.references.contains(rn)) &&
         !rest.exists(_.references.contains(rn))
-      if (ks.nonEmpty && ks.min > 0 && deadRank) {
+      val minK = conf.getConfString("spark.graft.topk.rewriteMinK", "2").toInt
+      if (ks.nonEmpty && ks.min >= minK && ks.min > 0 && deadRank) {
         val topk = TopKPerKeyNode(ps, os, Literal(ks.min), stripGroupLimit(wChild))
         val filtered = rest.reduceOption(And).map(Filter(_, topk)).getOrElse(topk)
         Project(projList, filtered)

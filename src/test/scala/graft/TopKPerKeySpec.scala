@@ -107,6 +107,42 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(collectSorted(df) === collectSorted(ref))
   }
 
+  test("partial-pass memory valve: tiny maxPartialKeys stays exact") {
+    // With the valve at 2 keys, most partial-pass rows stream through
+    // unpruned; the final pass must still produce the exact top-k.
+    spark.conf.set("spark.graft.topk.maxPartialKeys", "2")
+    try {
+      val got = TopKPerKey(frontier, Seq(col("host")),
+        Seq(col("score").desc, col("id").asc), 17)
+      assert(collectSorted(got) === collectSorted(windowRef(17)))
+    } finally spark.conf.unset("spark.graft.topk.maxPartialKeys")
+  }
+
+  test("k=1 first-wins idiom: gated off by default, exact when opted in") {
+    TopKPerKey.register(spark)
+    val w = Window.partitionBy(col("k")).orderBy(col("score").asc, col("id").asc)
+    val base = frontier.withColumn("k", col("id") % 997)
+    def firstWins = base.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+
+    // Default rewriteMinK=2: k=1 keeps the window plan (near-unique keys
+    // beat hash-grouping — see RewriteRankLimitToTopK scaladoc).
+    assert(!planString(firstWins).contains("TopKPerKeyFinal"))
+
+    // Opted in (heavy-group argmin workloads): rewrite fires and is exact.
+    spark.conf.set("spark.graft.topk.rewriteMinK", "1")
+    try {
+      val df = firstWins
+      assert(planString(df).contains("TopKPerKeyFinal"), planString(df))
+      val ref = base.collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(t => t._2 % 997).values
+        .map(_.minBy(t => (t._3, t._2))).toSeq.sortBy(_._2)
+      val got = df.select("host", "id", "score").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).sortBy(_._2)
+      assert(got.toSeq === ref)
+    } finally spark.conf.unset("spark.graft.topk.rewriteMinK")
+  }
+
   test("empty input and k<=0 yield empty output") {
     val empty = frontier.filter(col("id") < 0)
     assert(TopKPerKey(empty, Seq(col("host")), Seq(col("id").asc), 3).count() === 0)
