@@ -97,6 +97,89 @@ final class Glacier(val root: String) {
     }
   }
 
+  /** Zone-map read: open only the part-files whose recorded footer range on
+    * `column` can intersect `[lo, hi]` — Iceberg-style data skipping over
+    * the snapshot layer, at zero job cost (pruning is manifest metadata
+    * only). The result is the UNFILTERED union of surviving parts (a
+    * superset of the matching rows); the caller applies its own predicate,
+    * which Spark then also pushes into the remaining footers. Pruning is
+    * conservative: a part with no reachable stats (pre-stats manifest,
+    * expired ancestor manifest, unsupported column type) is always
+    * included. Returns None when NO part can intersect.
+    */
+  def readBetween(spark: SparkSession, table: String, column: String,
+                  lo: Any, hi: Any,
+                  snapshotId: Option[Long] = None): Option[DataFrame] = {
+    val id = snapshotId.orElse(currentSnapshotId)
+    id.flatMap(manifestOpt).flatMap(_.tables.get(table)).flatMap { st =>
+      val selected: List[String] = st.files.flatMap { dir =>
+        // per-partition lineage is per-commit: the stats for this dir's
+        // parts live in the manifest of the snapshot that WROTE the dir
+        val parts = snapIdOf(dir).flatMap(manifestOpt)
+          .flatMap(_.tables.get(table)).map(_.partitions).getOrElse(Nil)
+        if (parts.isEmpty) listParquet(dir) // no reachable lineage: keep all
+        else parts.collect {
+          case pe if mayIntersect(pe.stats.get(column), lo, hi) =>
+            s"$dir/${pe.path}"
+        }
+      }
+      if (selected.isEmpty) None else Some(spark.read.parquet(selected: _*))
+    }
+  }
+
+  private val SnapDirRe = ".*/data/snap-(\\d+)/[^/]+$".r
+  private def snapIdOf(dir: String): Option[Long] = dir match {
+    case SnapDirRe(id) => Some(id.toLong)
+    case _             => None
+  }
+
+  private def listParquet(dir: String): List[String] = {
+    val p = Paths.get(dir)
+    if (!Files.isDirectory(p)) Nil
+    else scala.util.Using.resource(Files.list(p)) { s =>
+      s.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toList.sorted
+    }
+  }
+
+  /** Can a part whose recorded (min, max) is `cs` hold a value in
+    * [lo, hi]? Unknown stats, type mismatch between bound and recorded
+    * type, or missing min/max all answer TRUE (include — never drop a
+    * part the range might touch). Strings compare in unsigned UTF-8 byte
+    * order, matching parquet's binary column order.
+    */
+  private def mayIntersect(cs: Option[ColStats], lo: Any, hi: Any): Boolean =
+    cs match {
+      case Some(ColStats(tpe, Some(mn), Some(mx), _)) =>
+        // BigDecimal keeps 64-bit longs exact (a double bound would lose
+        // precision above 2^53 — wrong prunes on id-like columns)
+        def num(a: Any): Option[BigDecimal] = a match {
+          case n: java.lang.Number =>
+            scala.util.Try(BigDecimal(n.toString)).toOption // NaN/Inf → None
+          case _ => None
+        }
+        tpe match {
+          case "long" | "int" | "double" | "float" =>
+            (num(lo), num(hi),
+             scala.util.Try((BigDecimal(mn), BigDecimal(mx))).toOption) match {
+              case (Some(l), Some(h), Some((pmn, pmx))) =>
+                !(pmx < l || pmn > h)
+              case _ => true
+            }
+          case "string" =>
+            (lo, hi) match {
+              case (l: String, h: String) =>
+                def bytes(s: String) =
+                  s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                !(java.util.Arrays.compareUnsigned(bytes(mx), bytes(l)) < 0 ||
+                  java.util.Arrays.compareUnsigned(bytes(mn), bytes(h)) > 0)
+              case _ => true
+            }
+          case _ => true
+        }
+      case _ => true
+    }
+
   def rowCount(table: String, snapshotId: Option[Long] = None): Long =
     snapshotId.orElse(currentSnapshotId).flatMap(manifestOpt)
       .flatMap(_.tables.get(table)).map(_.rows).getOrElse(0L)
@@ -161,8 +244,10 @@ final class Glacier(val root: String) {
           math.max(1, math.min(8, paths.size)))
         try {
           val tasks: Seq[java.util.concurrent.Callable[FileEntry]] =
-            paths.map(p => () => FileEntry(p.getFileName.toString,
-              Files.size(p), parquetRowCount(p)))
+            paths.map { p => () =>
+              val (rows, stats) = footerInfo(p)
+              FileEntry(p.getFileName.toString, Files.size(p), rows, stats)
+            }
           pool.invokeAll(tasks.asJava).asScala.map(_.get()).toList
         } finally pool.shutdown()
       }.sortBy(_.path)
@@ -250,16 +335,105 @@ final class Glacier(val root: String) {
     expired
   }
 
-  /** Exact row count of one part-file from its parquet FOOTER — a local
-    * metadata read (tail of the file), not a data scan; completes per-part
-    * lineage (bytes + rows) at zero job cost even at 10^4-round manifest
-    * scale. */
-  private def parquetRowCount(p: Path): Long =
+  /** Row count + per-column zone-map stats of one part-file from its
+    * parquet FOOTER — a local metadata read (tail of the file), not a data
+    * scan; completes per-part lineage (bytes + rows + min/max/nulls) at
+    * zero job cost even at 10^4-round manifest scale. Stats cover TOP-LEVEL
+    * primitive columns only (long/int/double/float/boolean/string); nested
+    * and unsupported types are skipped, which `readBetween` treats as
+    * "unknown → include". Min/max aggregate across row groups; a column
+    * whose chunk carries no usable statistics is dropped entirely
+    * (conservative).
+    */
+  private def footerInfo(p: Path): (Long, Map[String, ColStats]) =
     scala.util.Using.resource(
       org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(p.toUri),
-          new org.apache.hadoop.conf.Configuration())))(_.getRecordCount)
+          new org.apache.hadoop.conf.Configuration()))) { r =>
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val schema = r.getFooter.getFileMetaData.getSchema
+      val tpeOf: Map[String, String] = schema.getFields.asScala.collect {
+        case f if f.isPrimitive =>
+          val pt = f.asPrimitiveType()
+          val t = pt.getPrimitiveTypeName match {
+            case INT64   => "long"
+            case INT32   => "int"
+            case DOUBLE  => "double"
+            case FLOAT   => "float"
+            case BOOLEAN => "boolean"
+            case BINARY
+                if pt.getLogicalTypeAnnotation.isInstanceOf[
+                  LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+              "string"
+            case _ => ""
+          }
+          f.getName -> t
+      }.filter(_._2.nonEmpty).toMap
+
+      // accumulate (min, max, nulls) per column across row groups; any
+      // chunk with unusable stats poisons the column (conservative)
+      final case class Acc(min: Any, max: Any, nulls: Long)
+      val acc = scala.collection.mutable.Map.empty[String, Option[Acc]]
+      def lt(tpe: String, a: Any, b: Any): Boolean = tpe match {
+        case "string" =>
+          java.util.Arrays.compareUnsigned(
+            a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]]) < 0
+        case "boolean" => !a.asInstanceOf[Boolean] && b.asInstanceOf[Boolean]
+        case _ =>
+          a.asInstanceOf[java.lang.Number].doubleValue() <
+            b.asInstanceOf[java.lang.Number].doubleValue()
+      }
+      r.getFooter.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala.foreach { cc =>
+          val path = cc.getPath.toArray
+          if (path.length == 1 && tpeOf.contains(path(0))) {
+            val name = path(0)
+            val tpe = tpeOf(name)
+            val st = cc.getStatistics
+            val usable = st != null && !st.isEmpty && st.isNumNullsSet &&
+              (st.hasNonNullValue || st.getNumNulls == cc.getValueCount)
+            if (!usable) acc(name) = None
+            else if (!acc.contains(name) || acc(name).isDefined) {
+              val (mn, mx): (Any, Any) =
+                if (!st.hasNonNullValue) (null, null)
+                else tpe match {
+                  case "string" =>
+                    (st.genericGetMin.asInstanceOf[
+                       org.apache.parquet.io.api.Binary].getBytes,
+                     st.genericGetMax.asInstanceOf[
+                       org.apache.parquet.io.api.Binary].getBytes)
+                  case _ => (st.genericGetMin, st.genericGetMax)
+                }
+              val next = acc.get(name).flatten match {
+                case None => Acc(mn, mx, st.getNumNulls)
+                case Some(prev) =>
+                  val nmn =
+                    if (prev.min == null) mn
+                    else if (mn == null || lt(tpe, prev.min, mn)) prev.min
+                    else mn
+                  val nmx =
+                    if (prev.max == null) mx
+                    else if (mx == null || lt(tpe, mx, prev.max)) prev.max
+                    else mx
+                  Acc(nmn, nmx, prev.nulls + st.getNumNulls)
+              }
+              acc(name) = Some(next)
+            }
+          }
+        }
+      }
+      def render(tpe: String, v: Any): Option[String] = Option(v).map {
+        case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.UTF_8)
+        case other          => other.toString
+      }
+      val stats = acc.toMap.collect { case (name, Some(a)) =>
+        val tpe = tpeOf(name)
+        name -> ColStats(tpe, render(tpe, a.min), render(tpe, a.max), a.nulls)
+      }
+      (r.getRecordCount, stats)
+    }
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
@@ -270,10 +444,18 @@ final class Glacier(val root: String) {
 }
 
 object Glacier {
-  /** One parquet part-file: lineage unit (name, bytes, rows). `rows`
-    * defaults to -1 so manifests written before the footer-count landed
-    * still deserialize. */
-  final case class FileEntry(path: String, bytes: Long, rows: Long = -1L)
+  /** Per-column zone-map entry recorded from the parquet footer at commit
+    * time: physical-ish type tag ("long"/"int"/"double"/"float"/"boolean"/
+    * "string"), min/max rendered as strings (None when the part is
+    * all-null), and the null count. */
+  final case class ColStats(tpe: String, min: Option[String],
+                            max: Option[String], nulls: Long)
+
+  /** One parquet part-file: lineage unit (name, bytes, rows, zone-map
+    * stats). `rows`/`stats` default so manifests written before each field
+    * landed still deserialize. */
+  final case class FileEntry(path: String, bytes: Long, rows: Long = -1L,
+                             stats: Map[String, ColStats] = Map.empty)
   final case class TableState(files: List[String], rows: Long,
                               partitions: List[FileEntry])
   final case class Manifest(

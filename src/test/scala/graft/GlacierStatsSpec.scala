@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tables.Glacier
+
+/** Zone-map pruning: commits record per-part column min/max/null stats
+  * from the parquet footers (no scan), and `readBetween` opens only the
+  * parts whose recorded range can intersect the bound — an Iceberg-style
+  * data-skipping read over the snapshot layer.
+  */
+class GlacierStatsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("glacier-stats-test").toString
+
+  /** Three appended commits with disjoint `round` ranges, one part each. */
+  private def threeRounds(g: Glacier): Unit =
+    for (r <- 1 to 3) {
+      val df = spark.range(100).select(
+        lit(r.toLong).as("round"),
+        (col("id") + r * 1000).as("seq"),
+        concat(lit(s"u$r-"), col("id")).as("url"),
+        (col("id").cast("double") / (r * 7)).as("score"),
+      ).coalesce(1)
+      g.commit(spark, Seq(g.TableWrite("docs", df, g.Append)),
+        Map("round" -> r.toLong))
+    }
+
+  test("footer stats recorded per part: long, double and string columns") {
+    val g = new Glacier(tmpRoot())
+    threeRounds(g)
+    val m = g.currentManifest.get
+    val parts = m.tables("docs").partitions
+    assert(parts.size === 1) // delta of the LAST commit only (lineage is per-commit)
+    val st = parts.head.stats
+    assert(st("round").tpe === "long")
+    assert(st("round").min === Some("3") && st("round").max === Some("3"))
+    assert(st("seq").min === Some("3000") && st("seq").max === Some("3099"))
+    assert(st("score").tpe === "double")
+    assert(st("url").tpe === "string")
+    assert(st("url").min === Some("u3-0"))
+    assert(st.values.forall(_.nulls === 0L))
+  }
+
+  test("readBetween prunes parts by range and stays exact") {
+    val g = new Glacier(tmpRoot())
+    threeRounds(g)
+
+    // full read sees all three parts
+    val full = g.read(spark, "docs").get
+    assert(full.inputFiles.length === 3)
+    assert(full.count() === 300)
+
+    // round = 2 only: one part opened, result identical to the filter
+    val pruned = g.readBetween(spark, "docs", "round", 2L, 2L).get
+    assert(pruned.inputFiles.length === 1)
+    assert(pruned.filter(col("round") === 2).count() === 100)
+    assert(pruned.count() === 100)
+
+    // seq range spanning commits 1-2 prunes commit 3
+    val seqPruned = g.readBetween(spark, "docs", "seq", 1050L, 2050L).get
+    assert(seqPruned.inputFiles.length === 2)
+    assert(seqPruned.filter(col("seq").between(1050, 2050)).count() === 101)
+
+    // string bounds prune too
+    val urlPruned = g.readBetween(spark, "docs", "url", "u3-", "u3-~").get
+    assert(urlPruned.inputFiles.length === 1)
+
+    // disjoint range: no parts at all
+    assert(g.readBetween(spark, "docs", "round", 9L, 10L).isEmpty)
+  }
+
+  test("parts from dirs whose manifests expired are kept (conservative)") {
+    val g = new Glacier(tmpRoot())
+    threeRounds(g)
+    g.expireSnapshots(keepLast = 1)
+    // snapshot-1/2 manifests are gone but their dirs are still referenced;
+    // their parts have no reachable stats and must be INCLUDED, not dropped
+    val pruned = g.readBetween(spark, "docs", "round", 3L, 3L).get
+    assert(pruned.inputFiles.length === 3)
+    assert(pruned.filter(col("round") === 3).count() === 100)
+  }
+
+  test("nested/array columns are skipped, not mis-statted") {
+    val g = new Glacier(tmpRoot())
+    val df = spark.range(10).select(
+      col("id"),
+      array(struct(lit("text").as("kind"), col("id").cast("string").as("t")))
+        .as("spans"))
+    g.commit(spark, Seq(g.TableWrite("t", df, g.Replace)))
+    val st = g.currentManifest.get.tables("t").partitions.head.stats
+    assert(st.contains("id"))
+    assert(!st.keys.exists(_.startsWith("spans")))
+  }
+}
