@@ -62,7 +62,18 @@ object CrawlLoop {
         * (0 = never): bounds manifest file lists + probe-side delta merges
         * on long crawls. */
       compactEvery: Int = 0,
-  )
+      /** fast-path membership sketch: "bloom" (default) or "cuckoo"
+        * (deletion-capable — see SeenSet.forgetUrls). Routing-only either
+        * way; crawl order and the exact seen set are sketch-independent. */
+      seenSketch: String = "bloom",
+  ) {
+    def sketch: SeenSet.SeenSketch = seenSketch match {
+      case "bloom"  => SeenSet.BloomSeen(bloomExpectedPerShard, bloomFpp)
+      case "cuckoo" => SeenSet.CuckooSeen(bloomExpectedPerShard)
+      case other    => throw new IllegalArgumentException(
+        s"unknown seen sketch '$other' (bloom|cuckoo)")
+    }
+  }
 
   private val seqCols = Seq("round", "queryIdx", "pageIdx", "hitIdx")
   private def priority = col("score").desc +: seqCols.map(c => col(c).asc)
@@ -73,6 +84,7 @@ object CrawlLoop {
     "bloom_shards" -> cfg.bloomShards.toLong,
     "bloom_expected" -> cfg.bloomExpectedPerShard,
     "bloom_fpp_x1e9" -> (cfg.bloomFpp * 1e9).round,
+    "seen_sketch" -> cfg.sketch.tag,
   )
 
   /** Run (or resume) the crawl to completion; returns the Glacier handle. */
@@ -91,19 +103,22 @@ object CrawlLoop {
         // with a different config (the mismatch otherwise surfaces as an
         // IncompatibleMergeException deep inside a round).
         val rec = (m.metrics.get("bloom_shards"),
-          m.metrics.get("bloom_expected"), m.metrics.get("bloom_fpp_x1e9"))
+          m.metrics.get("bloom_expected"), m.metrics.get("bloom_fpp_x1e9"),
+          m.metrics.get("seen_sketch").orElse(
+            m.metrics.get("bloom_shards").map(_ => 0L))) // pre-sketch-era = bloom
         val now = (Some(cfg.bloomShards.toLong),
-          Some(cfg.bloomExpectedPerShard), Some((cfg.bloomFpp * 1e9).round))
+          Some(cfg.bloomExpectedPerShard), Some((cfg.bloomFpp * 1e9).round),
+          Some(cfg.sketch.tag))
         require(rec._1.isEmpty || rec == now,
-          s"resume with different bloom sizing: snapshot has $rec, config has $now")
+          s"resume with different seen-set sizing/sketch: snapshot has $rec, config has $now")
         m.metrics.getOrElse("round", 0L).toInt + 1
       }.getOrElse {
         val seeds = SyntheticRepo.seedTasks(cfg.repo)
           .filter(t => Robots.allowed(t.url))
         val seedDs = spark.createDataset(seeds)
         val seedUrls = seedDs.select($"url", lit(0).as("round_seen"))
-        val bloom = SeenSet.buildShards(seedUrls, cfg.bloomShards,
-          cfg.bloomExpectedPerShard, cfg.bloomFpp)
+        val bloom = SeenSet.buildShardsWith(seedUrls, cfg.bloomShards,
+          cfg.sketch)
         g.commit(spark, Seq(
           g.TableWrite("frontier", seedDs.toDF(), g.Replace),
           g.TableWrite("seen", seedUrls, g.Append),
@@ -129,7 +144,7 @@ object CrawlLoop {
         g.compact(spark, "seen", parts = spark.sparkContext.defaultParallelism)
         g.compact(spark, "bloom", parts = math.max(1,
           spark.sparkContext.defaultParallelism / 4),
-          transformFn = SeenSet.foldShards)
+          transformFn = SeenSet.foldShardsWith(_, cfg.sketch))
       }
       round += 1
     }
@@ -142,6 +157,41 @@ object CrawlLoop {
         System.err.println(f"[crawl] post-pass ${(System.nanoTime() - tp) / 1e9}%.1fs")
     }
     g
+  }
+
+  /** Re-crawl eligibility: forget `urls` (a `url`-column frame) from the
+    * seen state — exact table AND fast-path sketch — and re-enqueue them on
+    * the frontier at depth 0 with their original seed-order priority
+    * fields zeroed, so a subsequent [[run]] on the same Glacier root
+    * fetches them again. With the cuckoo sketch the shard edit is O(1) per
+    * url; with Bloom the touched shards are rebuilt from the exact
+    * remainder (SeenSet.forgetUrls). Commits one snapshot.
+    */
+  def forget(spark: SparkSession, g: Glacier, cfg: CrawlConfig,
+             urls: DataFrame): Unit = {
+    import spark.implicits._
+    val seenExact = g.read(spark, "seen").get
+    val state = g.read(spark, "bloom").get
+    val (newSeen, newState) = SeenSet.forgetUrls(seenExact, state, urls,
+      cfg.bloomShards, cfg.sketch)
+    val requeued = urls.select("url")
+      .join(seenExact.select(col("url").as("__s")), col("url") === col("__s"),
+        "left_semi")
+      .select($"url", substring_index($"url", ":", 1).as("host"),
+        lit(0).as("depth"), lit(0.0).as("score"), lit(0).as("round"),
+        // drain priority must stay a total order: derive distinct
+        // deterministic tie-breakers from the url (no window, no collect)
+        pmod(xxhash64($"url"), lit(1 << 30)).cast("int").as("queryIdx"),
+        lit(0).as("pageIdx"),
+        pmod(xxhash64($"url", lit(1)), lit(1 << 30)).cast("int").as("hitIdx"))
+    val frontier = g.read(spark, "frontier")
+      .map(_.select(frontierCols: _*).unionByName(requeued))
+      .getOrElse(requeued)
+    g.commit(spark, Seq(
+      g.TableWrite("seen", newSeen, g.Replace),
+      g.TableWrite("bloom", newState, g.Replace),
+      g.TableWrite("frontier", frontier, g.Replace),
+    ), bloomSizing(cfg), note = "forget")
   }
 
   /** The reference's output cleanup as a distributed post-pass
@@ -354,8 +404,8 @@ object CrawlLoop {
     val seenExact = g.read(spark, "seen").get
     val bloomState = g.read(spark, "bloom").get
     val obsNew = Observation(s"new_r$round")
-    val newLinks = SeenSet.filterNew(firstWins, bloomState, seenExact,
-      cfg.bloomShards)
+    val newLinks = SeenSet.filterNewWith(firstWins, bloomState, seenExact,
+      cfg.bloomShards, cfg.sketch)
       .observe(obsNew, count(lit(1)).as("n"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -381,8 +431,8 @@ object CrawlLoop {
     // merged state every round (round 1 design) re-reads and re-writes the
     // full ~12 GB filter set per round at the 10^10-URL design point.
     val obsBloom = Observation(s"bloom_r$round")
-    val deltaBloom = SeenSet.buildShards(newSeenUrls, cfg.bloomShards,
-      cfg.bloomExpectedPerShard, cfg.bloomFpp)
+    val deltaBloom = SeenSet.buildShardsWith(newSeenUrls, cfg.bloomShards,
+      cfg.sketch)
       // rows ride the write like every other table — without a thunk the
       // commit fires a read-back count job for this table every round
       .observe(obsBloom, count(lit(1)).as("n"))

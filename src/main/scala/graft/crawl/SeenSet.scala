@@ -31,6 +31,65 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object SeenSet {
 
+  /** The pluggable fast-path sketch (BASELINE.json north rule: "partitioned
+    * Bloom/cuckoo-filter URL-seen set"). Implementations promise
+    * never-false-negative membership for every inserted key; the exact
+    * table stays authoritative either way, so the choice trades Bloom's
+    * smaller bytes against the cuckoo filter's O(1) deletes
+    * ([[SeenSet.forgetUrls]]).
+    */
+  sealed trait SeenSketch extends Serializable {
+    /** recorded in snapshot metrics; a resume validates it (CrawlLoop) */
+    def tag: Long
+    def buildShard(urls: Iterator[String]): Array[Byte]
+    def mergeShardBytes(parts: Iterator[Array[Byte]]): Array[Byte]
+    /** one-time deserialization → many probes within a cogroup task */
+    def prober(bytes: Array[Byte]): String => Boolean
+  }
+
+  final case class BloomSeen(expectedPerShard: Long, fpp: Double)
+      extends SeenSketch {
+    val tag = 0L
+    def buildShard(urls: Iterator[String]): Array[Byte] = {
+      val f = BloomFilter.create(expectedPerShard, fpp)
+      urls.foreach(f.putString)
+      serialize(f)
+    }
+    def mergeShardBytes(parts: Iterator[Array[Byte]]): Array[Byte] =
+      serialize(parts.map(BloomFilter.readFrom)
+        .reduce((a, b) => a.mergeInPlace(b)))
+    def prober(bytes: Array[Byte]): String => Boolean = {
+      val f = BloomFilter.readFrom(bytes)
+      f.mightContainString _
+    }
+  }
+
+  final case class CuckooSeen(capacityPerShard: Long) extends SeenSketch {
+    val tag = 1L
+    /** sorted insert order → reproducible filter bytes (the eviction walk
+      * is order-sensitive; Bloom's OR-of-bits is not) */
+    def buildShard(urls: Iterator[String]): Array[Byte] = {
+      val f = CuckooFilter.create(capacityPerShard)
+      urls.toArray.sorted.foreach(f.insert)
+      f.serialize()
+    }
+    def mergeShardBytes(parts: Iterator[Array[Byte]]): Array[Byte] =
+      parts.map(CuckooFilter.readFrom)
+        .reduce((a, b) => a.mergeInPlace(b)).serialize()
+    def prober(bytes: Array[Byte]): String => Boolean = {
+      val f = CuckooFilter.readFrom(bytes)
+      f.mightContain _
+    }
+    /** Delete keys from one shard's filter — keys MUST be members of the
+      * exact seen table (deleting an absent key could strip a colliding
+      * fingerprint copy → false negative; see CuckooFilter contract). */
+    def deleteShard(bytes: Array[Byte], urls: Iterator[String]): Array[Byte] = {
+      val f = CuckooFilter.readFrom(bytes)
+      urls.foreach(f.delete)
+      f.serialize()
+    }
+  }
+
   /** Custom typed aggregate: per-group Bloom filter over a string column —
     * the one genuinely custom Aggregator in the engine (SURVEY.md §2.10).
     */
@@ -65,17 +124,19 @@ object SeenSet {
     * for ad-hoc use and is covered by its own spec.
     */
   def buildShards(urls: DataFrame, nShards: Int, expectedPerShard: Long,
-                  fpp: Double): DataFrame = {
+                  fpp: Double): DataFrame =
+    buildShardsWith(urls, nShards, BloomSeen(expectedPerShard, fpp))
+
+  /** Sketch-generic form of [[buildShards]]; the `bloom` column name is the
+    * historical table schema and holds whichever sketch's bytes. */
+  def buildShardsWith(urls: DataFrame, nShards: Int,
+                      sk: SeenSketch): DataFrame = {
     val spark = urls.sparkSession
     import spark.implicits._
     urls.select(shardCol(col("url"), nShards).as("shard"), col("url"))
       .as[(Int, String)]
       .groupByKey(_._1)
-      .mapGroups { (shard, it) =>
-        val f = BloomFilter.create(expectedPerShard, fpp)
-        it.foreach(t => f.putString(t._2))
-        (shard, serialize(f))
-      }
+      .mapGroups { (shard, it) => (shard, sk.buildShard(it.map(_._2))) }
       .toDF("shard", "bloom")
   }
 
@@ -83,17 +144,17 @@ object SeenSet {
     * appends) down to one merged row per shard — the compaction transform
     * (`Glacier.compact(spark, "bloom", transformFn = SeenSet.foldShards)`).
     */
-  def foldShards(state: DataFrame): DataFrame = {
+  def foldShards(state: DataFrame): DataFrame =
+    foldShardsWith(state, BloomSeen(0L, 0.03)) // merge path ignores sizing
+
+  /** Sketch-generic form of [[foldShards]]. */
+  def foldShardsWith(state: DataFrame, sk: SeenSketch): DataFrame = {
     val spark = state.sparkSession
     import spark.implicits._
     state.select("shard", "bloom")
       .as[(Int, Array[Byte])]
       .groupByKey(_._1)
-      .mapGroups { (shard, it) =>
-        val merged = it.map(t => BloomFilter.readFrom(t._2))
-          .reduce((a, b) => a.mergeInPlace(b))
-        (shard, serialize(merged))
-      }
+      .mapGroups { (shard, it) => (shard, sk.mergeShardBytes(it.map(_._2))) }
       .toDF("shard", "bloom")
   }
 
@@ -115,7 +176,14 @@ object SeenSet {
     * through the driver every round.
     */
   def filterNew(candidates: DataFrame, bloom: DataFrame,
-                seenExact: DataFrame, nShards: Int): DataFrame = {
+                seenExact: DataFrame, nShards: Int): DataFrame =
+    filterNewWith(candidates, bloom, seenExact, nShards,
+      BloomSeen(0L, 0.03)) // probe path ignores sizing
+
+  /** Sketch-generic form of [[filterNew]]. */
+  def filterNewWith(candidates: DataFrame, state: DataFrame,
+                    seenExact: DataFrame, nShards: Int,
+                    sk: SeenSketch): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
     val tagged = candidates.withColumn("__shard", shardCol(col("url"), nShards))
@@ -125,15 +193,13 @@ object SeenSet {
     val shardIdx = tagged.schema.fieldIndex("__shard")
     val urlIdx = tagged.schema.fieldIndex("url")
     val candByShard = tagged.groupByKey(_.getInt(shardIdx))
-    val bloomByShard = bloom.select(col("shard").cast("int"), col("bloom"))
+    val stateByShard = state.select(col("shard").cast("int"), col("bloom"))
       .as[(Int, Array[Byte])].groupByKey(_._1)
-    val flagged = candByShard.cogroup(bloomByShard) { (_, cands, blooms) =>
-      val filter = blooms.map(b => BloomFilter.readFrom(b._2))
-        .reduceOption { (a, b) => a.mergeInPlace(b); a }
-      filter match {
-        case None    => cands.map(r => Row.fromSeq(r.toSeq :+ false))
-        case Some(f) => cands.map(r =>
-          Row.fromSeq(r.toSeq :+ f.mightContainString(r.getString(urlIdx))))
+    val flagged = candByShard.cogroup(stateByShard) { (_, cands, parts) =>
+      if (!parts.hasNext) cands.map(r => Row.fromSeq(r.toSeq :+ false))
+      else {
+        val probe = sk.prober(sk.mergeShardBytes(parts.map(_._2)))
+        cands.map(r => Row.fromSeq(r.toSeq :+ probe(r.getString(urlIdx))))
       }
     }
     val definitelyNew = flagged.filter(!col("__maybe"))
@@ -141,5 +207,52 @@ object SeenSet {
       .join(seenExact.select(col("url").as("__seen_url")),
         col("url") === col("__seen_url"), "left_anti")
     definitelyNew.unionByName(confirmed).drop("__shard", "__maybe")
+  }
+
+  /** Re-crawl eligibility ("forget"): remove `urls` from the exact seen
+    * table AND the fast-path sketch, returning the new (seenExact, state)
+    * pair. Only urls actually present in `seenExact` are touched (the
+    * cuckoo delete contract). A [[CuckooSeen]] state deletes in place —
+    * one cogroup, O(1) per url; a [[BloomSeen]] state cannot delete, so
+    * its affected shards are REBUILT from the exact remainder (the honest
+    * cost of Bloom, and the reason the north rule names cuckoo as the
+    * alternative). Untouched shards pass through byte-identical on both
+    * paths.
+    */
+  def forgetUrls(seenExact: DataFrame, state: DataFrame, urls: DataFrame,
+                 nShards: Int, sk: SeenSketch): (DataFrame, DataFrame) = {
+    val spark = seenExact.sparkSession
+    import spark.implicits._
+    val present = urls.select("url")
+      .join(seenExact.select(col("url").as("__s")), col("url") === col("__s"),
+        "left_semi")
+      .select(shardCol(col("url"), nShards).as("shard"), col("url"))
+    val newSeen = seenExact.join(present.select(col("url").as("__f")),
+      col("url") === col("__f"), "left_anti")
+    val folded = foldShardsWith(state, sk) // one row per shard before edit
+    val newState = sk match {
+      case c: CuckooSeen =>
+        val byShard = present.as[(Int, String)].groupByKey(_._1)
+        val stateByShard = folded.select(col("shard").cast("int"), col("bloom"))
+          .as[(Int, Array[Byte])].groupByKey(_._1)
+        stateByShard.cogroup(byShard) { (shard, parts, dels) =>
+          parts.map { case (_, bytes) =>
+            if (dels.hasNext) (shard, c.deleteShard(bytes, dels.map(_._2)))
+            else (shard, bytes)
+          }
+        }.toDF("shard", "bloom")
+      case _ =>
+        val touched = present.select("shard").distinct()
+        val kept = folded.join(touched.withColumnRenamed("shard", "__t"),
+          col("shard") === col("__t"), "left_anti")
+        val rebuilt = buildShardsWith(
+          newSeen.withColumn("__shard", shardCol(col("url"), nShards))
+            .join(touched.withColumnRenamed("shard", "__t"),
+              col("__shard") === col("__t"), "left_semi")
+            .select("url"),
+          nShards, sk)
+        kept.unionByName(rebuilt)
+    }
+    (newSeen, newState)
   }
 }
