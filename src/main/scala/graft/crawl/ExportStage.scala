@@ -153,6 +153,31 @@ object ExportStage {
       .unionByName(authors)
   }
 
+  /** Incremental per-(round, host) fetch report over crawl_log rounds in
+    * `[sinceRound, toRound]` — the zone-map read path: each round's commit
+    * appends its own part files, so `Glacier.readBetween` on the recorded
+    * `round` min/max opens ONLY the requested rounds' parts. At a
+    * 10^4-round log a tail refresh ("what did the last night's rounds do")
+    * reads a constant number of files instead of the whole table. The
+    * residual filter stays because pruning is conservative (superset
+    * semantics); None = no crawl_log at all.
+    */
+  def roundReport(spark: SparkSession, g: Glacier,
+                  sinceRound: Int, toRound: Int): Option[DataFrame] =
+    g.readBetween(spark, "crawl_log", "round",
+        sinceRound.toLong, toRound.toLong)
+      .orElse(g.read(spark, "crawl_log").map(_.filter(lit(false))))
+      .map { log =>
+        log.filter(col("round").between(sinceRound, toRound))
+          .groupBy(col("round"), col("host"))
+          .agg(
+            count(lit(1)).as("fetches"),
+            count_if(col("status") === 200).as("ok"),
+            count_if(col("status") =!= 200).as("failed"),
+            sum(col("nLinks")).cast("long").as("links"),
+            sum(col("attempts")).cast("long").as("attempts"))
+      }
+
   /** Run the export over a finished crawl's Glacier root: commit the four
     * parquet tables as one snapshot and write the per-origin legacy TSVs
     * under `<root>/legacy_tsv/<kind>/dataset_origin=<o>/`. Idempotent on

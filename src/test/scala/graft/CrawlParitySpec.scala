@@ -239,6 +239,30 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(meta("files_excluded") === oracle.exclusionCounts.values.sum)
   }
 
+  test("incremental round report rides the zone maps: prunes parts, stays exact") {
+    val log = g.read(spark, "crawl_log").get
+    val lastRound = log.agg(max("round")).head.getInt(0)
+    assert(lastRound >= 3, "fixture must have enough rounds to prune")
+    val tail = ExportStage.roundReport(spark, g, lastRound, lastRound).get
+    // pruned read opens strictly fewer part files than the full log scan
+    assert(tail.inputFiles.length < log.inputFiles.length,
+      s"zone maps pruned nothing: ${tail.inputFiles.length} of ${log.inputFiles.length}")
+    // and the result equals the same aggregation over the FULL scan
+    val full = log.filter(col("round") === lastRound)
+      .groupBy(col("round"), col("host"))
+      .agg(count(lit(1)).as("fetches"),
+        count_if(col("status") === 200).as("ok"),
+        count_if(col("status") =!= 200).as("failed"),
+        sum(col("nLinks")).cast("long").as("links"),
+        sum(col("attempts")).cast("long").as("attempts"))
+    val key: org.apache.spark.sql.Row => String = _.toString
+    assert(tail.collect().map(key).sorted.toVector ===
+      full.collect().map(key).sorted.toVector)
+    // out-of-range request: every part pruned
+    assert(ExportStage.roundReport(spark, g, lastRound + 50, lastRound + 60)
+      .forall(_.collect().isEmpty))
+  }
+
   test("a ≥20-deep NOMAD cursor chain is followed strictly sequentially") {
     // dedicated tiny config: the chain dominates the crawl's length
     val chainRepo = RepoConfig(seed = 9L, universe = 60,
