@@ -81,8 +81,12 @@ object CrawlBench {
     // salts is a LOGICAL constant (drain candidates = salts × budget per
     // host) — identical at every parallelism so the two cluster-size runs
     // execute the same logical plan on the same input.
+    // seen-set sketch under test: bloom (default) or cuckoo — same crawl,
+    // same checksum, different fast-path membership bytes
+    val sketch = sys.env.getOrElse("SPARK_GRAFT_SEEN_SKETCH", "bloom")
     val cfg = CrawlConfig(repo, budget, maxRounds = 8, root,
-      salts = 8, bloomShards = 64, bloomExpectedPerShard = 1L << 16)
+      salts = 8, bloomShards = 64, bloomExpectedPerShard = 1L << 16,
+      seenSketch = sketch)
 
     val t0 = System.nanoTime()
     val g = CrawlLoop.run(spark, cfg)
@@ -128,7 +132,7 @@ object CrawlBench {
       s""""seconds":$secs,"seen":$seen,"docs":$docs,""" +
       s""""kernel_urls_per_sec":${urls / kernelSecs},""" +
       s""""kernel_seconds":$kernelSecs,"kernel_rows":$kernelRows,""" +
-      s""""log_checksum":"$checksum"}""")
+      s""""sketch":"$sketch","log_checksum":"$checksum"}""")
     spark.stop()
   }
 }

@@ -73,6 +73,53 @@ class CuckooSeenSpec extends AnyFunSuite {
     assert(!f.delete(keys.head)) // saturated filters refuse deletes
   }
 
+  test("property: random insert/delete churn never false-negatives a live key") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // Model-based churn: a multiset of live keys tracks what the filter
+    // MUST answer true for. Ops honor the class contract — delete only
+    // keys the model says are inserted (the exact-table pre-filter the
+    // seen set performs), and a saturated filter's refused delete leaves
+    // the key live in the model too (conservative on both sides).
+    val keySpace = (0 until 400).map(i => s"u://prop/$i")
+    val genOps: Gen[List[(Boolean, Int)]] =
+      Gen.listOfN(600, Gen.zip(Gen.prob(0.7), Gen.choose(0, keySpace.size - 1)))
+    val prop = Prop.forAll(genOps) { ops =>
+      // capacity 256 << 400-key space so some runs saturate, some don't
+      val f = CuckooFilter.create(256)
+      val live = scala.collection.mutable.Map.empty[Int, Int]
+      ops.foreach { case (isInsert, k) =>
+        if (isInsert) { f.insert(keySpace(k)); live(k) = live.getOrElse(k, 0) + 1 }
+        else if (live.getOrElse(k, 0) > 0 && f.delete(keySpace(k))) {
+          val n = live(k) - 1
+          if (n == 0) live.remove(k) else live(k) = n
+        }
+      }
+      val fresh = CuckooFilter.readFrom(f.serialize())
+      live.keys.forall { k =>
+        f.mightContain(keySpace(k)) && fresh.mightContain(keySpace(k))
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, s"churn property failed: ${res.status}")
+  }
+
+  test("property: merge of churned filters contains both sides' live keys") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genKeys: Gen[(List[Int], List[Int])] = Gen.zip(
+      Gen.listOfN(150, Gen.choose(0, 999)), Gen.listOfN(150, Gen.choose(1000, 1999)))
+    val prop = Prop.forAll(genKeys) { case (as, bs) =>
+      val a = CuckooFilter.create(512)
+      val b = CuckooFilter.create(512)
+      as.foreach(i => a.insert(s"m://$i"))
+      bs.foreach(i => b.insert(s"m://$i"))
+      a.mergeInPlace(b)
+      (as.forall(i => a.mightContain(s"m://$i"))
+        && bs.forall(i => a.mightContain(s"m://$i")))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, s"merge property failed: ${res.status}")
+  }
+
   // ---- sketch-generic routing exactness -----------------------------------
 
   test("filterNewWith(cuckoo) splits new vs seen exactly, same as bloom") {
