@@ -38,10 +38,15 @@ object BandwidthProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // docs-like corpus: ~2.5 KB of text per row (the synthetic page weight)
-    val corpus = spark.range(rows).repartition(cpus)
+    // docs-like corpus: ~2.5 KB of text per row (the synthetic page weight),
+    // materialized to tmpfs OUTSIDE all timers so each timed phase starts
+    // from the same bytes instead of re-running the 40-md5/row generation
+    // (parallel CPU work) inside its own measurement
+    spark.range(rows).repartition(cpus)
       .select($"id", concat_ws(" ", (0 until 40).map(i =>
         md5(concat($"id", lit(i)))): _*).as("text"))
+      .write.mode("overwrite").parquet(s"$dir/corpus")
+    val corpus = spark.read.parquet(s"$dir/corpus")
 
     def time[A](f: => A): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -54,7 +59,9 @@ object BandwidthProbe {
         graft.crawl.PageParser.sketch(t)._2
       }).agg(sum(col("value").cast("decimal(38,0)"))).collect()
     }
-    // block-store cache materialization (the loop's persist path)
+    // block-store cache materialization (the loop's persist path); the
+    // tmpfs scan feeding it is memory-speed, so the timing is dominated by
+    // decode + block-store write, not by corpus generation
     val cached = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cacheSecs = time { cached.count() }
     // parquet encode+write from the cache (the loop's commit path)

@@ -77,10 +77,15 @@ object DrainProbe {
     timeIt("drain/topk") {
       graft.plans.TopKPerKey(frontier, Seq(col("host")), priority, budgetCol)
     }
+    // the k=1 rewrite is gated off by default (rewriteMinK=2) — force it on
+    // so this block actually measures the TopKPerKey plan, not the window
+    // plan a second time
+    spark.conf.set("spark.graft.topk.rewriteMinK", "1")
     timeIt("firstwins/topk") {
       val w = Window.partitionBy($"url").orderBy($"seqInRound".asc, $"ordinal".asc)
       links.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
     }
+    spark.conf.set("spark.graft.topk.rewriteMinK", "2")
     spark.stop()
   }
 }

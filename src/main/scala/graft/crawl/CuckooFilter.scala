@@ -155,10 +155,15 @@ object CuckooFilter {
   /** Size for `expected` keys at ≤~95% load, 4-way buckets, power-of-two
     * bucket count (required by the XOR partial-key pairing). */
   def create(expected: Long): CuckooFilter = {
+    // 2^30 keys/shard is the slots-array ceiling (2^28 buckets × 4 shorts);
+    // past it, raise the shard count — and an Int sizing loop would
+    // overflow into an infinite spin instead of this error
+    require(expected >= 0 && expected <= (1L << 30),
+      s"cuckoo shard capacity $expected exceeds 2^30 keys; raise shard count")
     val minBuckets = math.max(1L, math.ceil(expected / 4.0 / 0.95).toLong)
-    var b = 1
+    var b = 1L
     while (b < minBuckets) b <<= 1
-    new CuckooFilter(b, new Array[Short](b * 4), 0, false)
+    new CuckooFilter(b.toInt, new Array[Short]((b * 4).toInt), 0, false)
   }
 
   def readFrom(bytes: Array[Byte]): CuckooFilter = {

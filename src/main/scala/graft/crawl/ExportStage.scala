@@ -181,11 +181,16 @@ object ExportStage {
   /** Run the export over a finished crawl's Glacier root: commit the four
     * parquet tables as one snapshot and write the per-origin legacy TSVs
     * under `<root>/legacy_tsv/<kind>/dataset_origin=<o>/`. Idempotent on
-    * resume (skipped when the export tables already exist — they carry
-    * forward through later snapshots). */
+    * resume: skipped only while the export is FRESH — an existing export
+    * snapshot with a crawl commit (a round or a forget) after it is stale
+    * and gets recomputed, replacing the export tables in a new snapshot. */
   def run(spark: SparkSession, g: Glacier,
           fetchDate: String = DefaultFetchDate): Unit = {
-    if (g.read(spark, "export_stats").isDefined) return
+    val hist = g.history
+    val lastExport = hist.lastIndexWhere(_.note == "export")
+    val lastCrawl = hist.lastIndexWhere(
+      m => m.metrics.contains("round") || m.note == "forget")
+    if (lastExport >= 0 && lastExport > lastCrawl) return
     val ds = firstWins(g.read(spark, "datasets_clean")
       .orElse(g.read(spark, "datasets")).getOrElse(return),
       Seq("dataset_repository_name", "dataset_id_in_repository"))

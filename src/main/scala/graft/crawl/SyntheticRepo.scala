@@ -187,8 +187,13 @@ object SyntheticRepo {
   /** PDB-chain id of ATLAS dataset n: 4 alphanumerics + '_' + chain
     * letter, the exact shape atlas.py's chain-id regex captures
     * (`[A-Za-z0-9]{4}_[A-Za-z]`). */
-  def atlasChainId(cfg: RepoConfig, n: Int): String =
+  def atlasChainId(cfg: RepoConfig, n: Int): String = {
+    // the discovery regex captures exactly 4 id chars; a 5-hex-digit id
+    // would silently never match, shrinking the workload below the config
+    require(n <= 0xffff,
+      s"atlas chain ordinal $n exceeds the 4-hex-digit id space (atlasCount <= 65536)")
     f"$n%04x_${('A' + pos(h(cfg, "achain", n), 6)).toChar}"
+  }
 
   /** MDposit page size: the reference uses 50 against Zenodo's 100
     * (mddb.py:62 `page_size: int = 50`). */

@@ -399,7 +399,7 @@ object DedupOps {
       case Some((k, df)) if k == ((s, dir)) && !s.sparkContext.isStopped => df
       case prev =>
         prev.foreach { case ((olds, _), df) =>
-          if (!olds.sparkContext.isStopped) df.unpersist(blocking = false)
+          if (!olds.sparkContext.isStopped) releaseCheckpoint(df)
         }
         val df = computeClusters(s, dir)
         clustersMemo = Some(((s, dir), df))
@@ -457,6 +457,18 @@ object DedupOps {
     * (src > dst) and distinct — e.g. LSH candidate pairs, which arrive as
     * distinct (doc_a < doc_b) rows — skipping one full shuffle+distinct
     * of the initial (largest) edge set. */
+  /** Free a localCheckpoint-backed frame's blocks NOW. `Dataset.unpersist`
+    * only clears CacheManager entries — a checkpointed RDD's
+    * MEMORY_AND_DISK blocks otherwise linger until the ContextCleaner
+    * happens to GC the RDD, which on a long-lived session lets every
+    * iteration's superseded generation pile up in the block store. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def connectedComponentsCanonical(edges: DataFrame): (DataFrame, Int) = {
     var e = edges.localCheckpoint(true)
     def sig(d: DataFrame): (Long, java.math.BigDecimal) = {
@@ -477,7 +489,7 @@ object DedupOps {
       val s = sig(next)
       converged = s._1 == prev._1 && s._2.compareTo(prev._2) == 0
       prev = s
-      e.unpersist(blocking = false)
+      releaseCheckpoint(e)
       e = next
     }
     (e, iters)

@@ -381,6 +381,12 @@ final class Glacier(val root: String) {
           java.util.Arrays.compareUnsigned(
             a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]]) < 0
         case "boolean" => !a.asInstanceOf[Boolean] && b.asInstanceOf[Boolean]
+        // integral columns compare exactly: a doubleValue() comparison
+        // collapses longs above 2^53 and a wrong recorded min/max makes
+        // readBetween prune a part that holds matching rows
+        case "long" | "int" =>
+          a.asInstanceOf[java.lang.Number].longValue() <
+            b.asInstanceOf[java.lang.Number].longValue()
         case _ =>
           a.asInstanceOf[java.lang.Number].doubleValue() <
             b.asInstanceOf[java.lang.Number].doubleValue()
