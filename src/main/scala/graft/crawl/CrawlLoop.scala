@@ -184,8 +184,16 @@ object CrawlLoop {
         pmod(xxhash64($"url"), lit(1 << 30)).cast("int").as("queryIdx"),
         lit(0).as("pageIdx"),
         pmod(xxhash64($"url", lit(1)), lit(1 << 30)).cast("int").as("hitIdx"))
+    // A forgotten url can still be PENDING on the frontier (pending urls are
+    // already in the seen table, so the left_semi above passes): re-enqueuing
+    // it would put two live rows on the frontier and fetch it twice. Only
+    // union rows not already pending.
     val frontier = g.read(spark, "frontier")
-      .map(_.select(frontierCols: _*).unionByName(requeued))
+      .map { f =>
+        val pending = f.select(col("url").as("__p"))
+        f.select(frontierCols: _*).unionByName(
+          requeued.join(pending, col("url") === col("__p"), "left_anti"))
+      }
       .getOrElse(requeued)
     g.commit(spark, Seq(
       g.TableWrite("seen", newSeen, g.Replace),

@@ -155,11 +155,15 @@ object CuckooFilter {
   /** Size for `expected` keys at ≤~95% load, 4-way buckets, power-of-two
     * bucket count (required by the XOR partial-key pairing). */
   def create(expected: Long): CuckooFilter = {
-    // 2^30 keys/shard is the slots-array ceiling (2^28 buckets × 4 shorts);
-    // past it, raise the shard count — and an Int sizing loop would
-    // overflow into an infinite spin instead of this error
-    require(expected >= 0 && expected <= (1L << 30),
-      s"cuckoo shard capacity $expected exceeds 2^30 keys; raise shard count")
+    // Real ceiling: the slots array is b×4 Shorts with b a power of two, so
+    // b ≤ 2^28 (b=2^29 would make (b*4).toInt overflow to Int.MinValue →
+    // NegativeArraySizeException). At the 0.95 design load that admits
+    // expected ≤ 2^28·4·0.95 ≈ 1.02e9 keys/shard; past it, raise the
+    // shard count.
+    val maxExpected = (1L << 28) * 4L * 95L / 100L
+    require(expected >= 0 && expected <= maxExpected,
+      s"cuckoo shard capacity $expected exceeds $maxExpected keys " +
+        "(2^28 buckets x 4 slots at 0.95 load); raise shard count")
     val minBuckets = math.max(1L, math.ceil(expected / 4.0 / 0.95).toLong)
     var b = 1L
     while (b < minBuckets) b <<= 1

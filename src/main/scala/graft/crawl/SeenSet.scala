@@ -223,7 +223,10 @@ object SeenSet {
                  nShards: Int, sk: SeenSketch): (DataFrame, DataFrame) = {
     val spark = seenExact.sparkSession
     import spark.implicits._
-    val present = urls.select("url")
+    // distinct BEFORE the delete: left_semi keeps duplicate left rows, and a
+    // url deleted twice can strip a colliding live key's fingerprint from the
+    // cuckoo table (sketch false negative -> duplicate crawl).
+    val present = urls.select("url").distinct()
       .join(seenExact.select(col("url").as("__s")), col("url") === col("__s"),
         "left_semi")
       .select(shardCol(col("url"), nShards).as("shard"), col("url"))

@@ -184,6 +184,42 @@ class CuckooSeenSpec extends AnyFunSuite {
     }
   }
 
+  test("forgetUrls deduplicates its input: duplicated urls delete exactly once") {
+    // left_semi keeps duplicate left rows; without the distinct, a url
+    // appearing twice would fire two cuckoo deletes — the second can strip a
+    // colliding live key's fingerprint (sketch false negative). Pin the fix:
+    // a duplicated forget list must yield shard bytes IDENTICAL to the
+    // distinct list's.
+    val sk = CuckooSeen(1000)
+    val seen = (0 until 300).map(i => s"u://$i").toDF("url")
+    val state = SeenSet.buildShardsWith(seen, nShards, sk)
+    val once = (50 until 80).map(i => s"u://$i")
+    val dup = (once ++ once ++ once).toDF("url")
+    val (_, stateDup) = SeenSet.forgetUrls(seen, state, dup, nShards, sk)
+    val (_, stateOnce) = SeenSet.forgetUrls(seen, state, once.toDF("url"), nShards, sk)
+    val a = stateDup.as[(Int, Array[Byte])].collect().toMap
+    val b = stateOnce.as[(Int, Array[Byte])].collect().toMap
+    assert(a.keySet === b.keySet)
+    a.keys.foreach(s => assert(java.util.Arrays.equals(a(s), b(s)),
+      s"shard $s bytes differ between dup and distinct forget input"))
+  }
+
+  test("create guard rejects over-capacity sizing with a clear error") {
+    // b=2^29 would overflow (b*4).toInt → NegativeArraySizeException; the
+    // guard must refuse BEFORE allocation with the real ceiling
+    val over = (1L << 28) * 4L * 95L / 100L + 1L
+    val ex = intercept[IllegalArgumentException](CuckooFilter.create(over))
+    assert(ex.getMessage.contains("raise shard count"))
+    // and anything the guard admits must size without arithmetic overflow:
+    // minBuckets at the ceiling is exactly 2^28 (no allocation test — that
+    // array is 2 GiB — just the sizing arithmetic the guard protects)
+    val ceil = (1L << 28) * 4L * 95L / 100L
+    val minBuckets = math.max(1L, math.ceil(ceil / 4.0 / 0.95).toLong)
+    var bk = 1L
+    while (bk < minBuckets) bk <<= 1
+    assert(bk <= (1L << 28) && (bk * 4) <= Int.MaxValue)
+  }
+
   test("cuckoo forget edits shards in place: forgotten urls miss the sketch again") {
     // with cuckoo, a forgotten url should MISS the sketch again (no exact
     // confirm needed) — measure via the filter directly
@@ -265,5 +301,27 @@ class CuckooSeenSpec extends AnyFunSuite {
     assert(logRows.filter(col("url").isin(victims: _*)).count() === 10,
       "each victim fetched exactly twice (once per crawl)")
     assert(logRows.count() === logBefore + 5, "non-victims not re-fetched")
+  }
+
+  test("forget of a still-PENDING frontier url does not duplicate it") {
+    // pending urls are already in the seen table, so forget's left_semi
+    // passes — without the anti-join vs the carried frontier it would union
+    // a SECOND live row and the url would be fetched twice
+    val root = Files.createTempDirectory("crawl-forget-pending").toString
+    val c = cfg(root, "cuckoo").copy(maxRounds = 2) // stop mid-crawl
+    CrawlLoop.run(spark, c)
+    val g = new graft.tables.Glacier(root)
+    val pending = g.read(spark, "frontier").get
+      .select("url").as[String].collect()
+    assert(pending.nonEmpty, "need a non-empty frontier for this test")
+    val victim = pending.head
+    CrawlLoop.forget(spark, g, c, Seq(victim).toDF("url"))
+    val rows = g.read(spark, "frontier").get.filter(col("url") === victim)
+    assert(rows.count() === 1, s"$victim must appear exactly once on the frontier")
+    // finish the crawl: the victim is fetched exactly once
+    CrawlLoop.run(spark, c.copy(maxRounds = 24))
+    val hits = g.read(spark, "crawl_log").get
+      .filter(col("url") === victim).count()
+    assert(hits === 1, s"pending-then-forgotten url fetched $hits times, want 1")
   }
 }
