@@ -84,9 +84,12 @@ object CrawlBench {
     // seen-set sketch under test: bloom (default) or cuckoo — same crawl,
     // same checksum, different fast-path membership bytes
     val sketch = sys.env.getOrElse("SPARK_GRAFT_SEEN_SKETCH", "bloom")
+    // commit pipelining under test (default on): round N's bulk output
+    // writes overlap round N+1's drain+fetch — same checksum either way
+    val pipeline = sys.env.getOrElse("SPARK_GRAFT_PIPELINE", "true").toBoolean
     val cfg = CrawlConfig(repo, budget, maxRounds = 8, root,
       salts = 8, bloomShards = 64, bloomExpectedPerShard = 1L << 16,
-      seenSketch = sketch)
+      seenSketch = sketch, pipelineCommits = pipeline)
 
     val t0 = System.nanoTime()
     val g = CrawlLoop.run(spark, cfg)
@@ -103,12 +106,13 @@ object CrawlBench {
     // the 3-host sandbox's politeness-bounded round sizes.
     import spark.implicits._
     val t1 = System.nanoTime()
+    val kernelClient = cfg.fetcher
     val kernelRows = log.select("url")
       .repartition(cpus * 2, xxhash64(col("url")))
       .as[String]
       .mapPartitions { it =>
         it.map { u =>
-          val p = SyntheticRepo.fetch(repo, u)
+          val p = kernelClient.fetch(u)
           if (p.status != 200) 0L
           else {
             val d = PageParser.parseDatasets(p.host, p.doc)
@@ -132,7 +136,8 @@ object CrawlBench {
       s""""seconds":$secs,"seen":$seen,"docs":$docs,""" +
       s""""kernel_urls_per_sec":${urls / kernelSecs},""" +
       s""""kernel_seconds":$kernelSecs,"kernel_rows":$kernelRows,""" +
-      s""""sketch":"$sketch","log_checksum":"$checksum"}""")
+      s""""sketch":"$sketch","pipeline":$pipeline,""" +
+      s""""log_checksum":"$checksum"}""")
     spark.stop()
   }
 }

@@ -66,7 +66,20 @@ object CrawlLoop {
         * (deletion-capable — see SeenSet.forgetUrls). Routing-only either
         * way; crawl order and the exact seen set are sketch-independent. */
       seenSketch: String = "bloom",
+      /** overlap each round's bulk output writes (crawl_log/docs/datasets/
+        * files) with the NEXT round's drain+fetch via
+        * [[Glacier.commitPipelined]]: the frontier/seen/bloom writes stay a
+        * synchronous barrier, the manifest flip stays atomic and strictly
+        * ordered, and crawl order/seen set are bit-identical either way
+        * (parity-tested). false = fully serial rounds (round-3 behavior). */
+      pipelineCommits: Boolean = true,
+      /** the fetch seam (SURVEY §7.1(6)): None = the deterministic
+        * synthetic fleet; a deployment supplies [[HttpFetchClient]] (or its
+        * own) and touches nothing else. Must be Serializable — captured in
+        * the fetch stage's mapPartitions closure. */
+      client: Option[FetchClient] = None,
   ) {
+    def fetcher: FetchClient = client.getOrElse(SyntheticFetchClient(repo))
     def sketch: SeenSet.SeenSketch = seenSketch match {
       case "bloom"  => SeenSet.BloomSeen(bloomExpectedPerShard, bloomFpp)
       case "cuckoo" => SeenSet.CuckooSeen(bloomExpectedPerShard)
@@ -130,17 +143,28 @@ object CrawlLoop {
     if (sys.env.contains("SPARK_GRAFT_CRAWL_VERBOSE"))
       System.err.println(f"[crawl] bootstrap/resume done at ${(System.nanoTime() - tStart) / 1e9}%.1fs")
     var pending = g.rowCount("frontier")
+    // `prev` = the previous round's pipelined commit, possibly still
+    // writing its bulk output tables in the background while this round
+    // drains+fetches. The next round reads frontier/seen/bloom from the
+    // handle's staged view (those writes ARE synchronous barriers); every
+    // other consumer (compaction, post-pass, loop exit) joins it first.
+    var prev: Option[Glacier.PendingCommit] = None
+    def readTable(table: String): Option[DataFrame] = prev match {
+      case Some(h) => h.read(spark, table)
+      case None    => g.read(spark, table)
+    }
     while (pending > 0 && round <= cfg.maxRounds) {
       val t0 = System.nanoTime()
-      runRound(spark, g, cfg, round, pending)
-      pending = g.rowCount("frontier")
+      val r = runRound(spark, g, cfg, round, pending, readTable)
+      prev = r.handle
+      pending = r.pendingAfter
       if (sys.env.contains("SPARK_GRAFT_CRAWL_VERBOSE")) {
-        val m = g.currentManifest.get.metrics
-        System.err.println(f"[crawl] round $round%2d: fetched=${m("fetched")}%6d " +
-          f"enqueued=${m("enqueued")}%6d pending=$pending%7d " +
+        System.err.println(f"[crawl] round $round%2d: fetched=${r.fetched}%6d " +
+          f"enqueued=${r.enqueued}%6d pending=$pending%7d " +
           f"${(System.nanoTime() - t0) / 1e9}%6.1fs")
       }
       if (cfg.compactEvery > 0 && round % cfg.compactEvery == 0) {
+        prev.foreach(_.await()); prev = None // compaction reads CURRENT
         g.compact(spark, "seen", parts = spark.sparkContext.defaultParallelism)
         g.compact(spark, "bloom", parts = math.max(1,
           spark.sparkContext.defaultParallelism / 4),
@@ -148,6 +172,7 @@ object CrawlLoop {
       }
       round += 1
     }
+    prev.foreach(_.await()); prev = None
     // post-pass once the crawl is done (idempotent on resume: skipped when
     // the current snapshot already is the post-pass)
     if (!g.currentManifest.exists(_.note == "post-pass")) {
@@ -297,12 +322,23 @@ object CrawlLoop {
     }, note = "post-pass")
   }
 
-  /** One BSP round: drain → fetch → parse → dedup → snapshot. */
+  /** What a round hands back to the loop: the observation-derived counts
+    * (so the loop never blocks on the in-flight commit for them) and the
+    * pipelined-commit handle when `cfg.pipelineCommits` (None = committed
+    * synchronously). */
+  final case class RoundResult(handle: Option[Glacier.PendingCommit],
+                               pendingAfter: Long, fetched: Long,
+                               enqueued: Long)
+
+  /** One BSP round: drain → fetch → parse → dedup → snapshot.
+    * `readTable` supplies the round's input state — the previous round's
+    * pipelined handle (staged barrier tables) or the committed snapshot. */
   def runRound(spark: SparkSession, g: Glacier, cfg: CrawlConfig,
-               round: Int, pendingBefore: Long): Unit = {
+               round: Int, pendingBefore: Long,
+               readTable: String => Option[DataFrame]): RoundResult = {
     import spark.implicits._
 
-    val frontier = g.read(spark, "frontier").get
+    val frontier = readTable("frontier").get
     // withSeq is a cheap projection over drainSelect's internal cache (the
     // global numbering already needed a counts pass) — no second persist.
     val (withSeq, releaseDrain) =
@@ -313,7 +349,7 @@ object CrawlLoop {
     // Observation/CollectMetrics — a BSP round fires NO standalone count
     // jobs (per-round fixed cost is what bounds crawl throughput; it was
     // measured to dominate wall-clock before this restructuring).
-    val repo = cfg.repo
+    val fetchClient = cfg.fetcher // the serializable seam, captured below
     val parallelism = spark.sparkContext.defaultParallelism
     val obsFetch = Observation(s"fetch_r$round")
     // Uniform url-hash partitioning: politeness is enforced LOGICALLY by
@@ -328,7 +364,7 @@ object CrawlLoop {
       .as[SelectedTask]
       .mapPartitions { it =>
         it.map { t =>
-          val p = SyntheticRepo.fetch(repo, t.url)
+          val p = fetchClient.fetch(t.url)
           RoundFetch(t.url, t.host, t.depth, t.seqInRound, p.status,
             p.attempts, p.doc, p.links)
         }
@@ -409,8 +445,8 @@ object CrawlLoop {
 
     // seen check: Bloom fast path (shard-cogrouped, fully distributed —
     // no driver collect, no broadcast) + exact confirm
-    val seenExact = g.read(spark, "seen").get
-    val bloomState = g.read(spark, "bloom").get
+    val seenExact = readTable("seen").get
+    val bloomState = readTable("bloom").get
     val obsNew = Observation(s"new_r$round")
     val newLinks = SeenSet.filterNewWith(firstWins, bloomState, seenExact,
       cfg.bloomShards, cfg.sketch)
@@ -473,7 +509,12 @@ object CrawlLoop {
     // all stages, reading observations already fired. This replaces round
     // 1's standalone count() staging jobs — the round fires ZERO actions
     // that aren't table writes (minus the drain's tiny offsets collect).
-    g.commit(spark, Seq(
+    // barrier = the three tables the NEXT round reads. Under pipelined
+    // commits they are written synchronously in stage order (frontier
+    // materializes the fetch+link caches, then seen/bloom read them) and
+    // the bulk outputs (log/docs/datasets/files) follow on the background
+    // lane, overlapped with the next round's drain+fetch.
+    val writes = Seq(
       g.TableWrite("crawl_log", log, g.Append,
         Some(() => m(obsFetch, "n")), stage = 0),
       g.TableWrite("docs", docs, g.Append,
@@ -482,17 +523,19 @@ object CrawlLoop {
         Some(() => m(obsParsed, "dsV")), stage = 1),
       g.TableWrite("frontier", newFrontier, g.Replace,
         Some(() => pendingBefore - m(obsFetch, "n") + m(obsNew, "n")),
-        stage = 1),
+        stage = 1, barrier = true),
       g.TableWrite("files", files, g.Append,
         Some(() => m(obsParsed, "fV")), stage = 2),
       g.TableWrite("seen", bounded(newSeenUrls), g.Append,
-        Some(() => m(obsNew, "n")), stage = 2),
+        Some(() => m(obsNew, "n")), stage = 2, barrier = true),
       g.TableWrite("bloom", bounded(deltaBloom), g.Append,
-        Some(() => m(obsBloom, "n")), stage = 2),
+        Some(() => m(obsBloom, "n")), stage = 2, barrier = true),
     ) ++ (if (cfg.repo.gpcrmdCount > 0) Seq(
       g.TableWrite("head_sizes", headSizes, g.Append,
-        Some(() => m(obsParsed, "hV")), stage = 2)) else Seq.empty),
-    metrics = bloomSizing(cfg) ++ Map(
+        Some(() => m(obsParsed, "hV")), stage = 2)) else Seq.empty)
+    // evaluated at manifest time (background under pipelining — obsParsed
+    // fires with the datasets write there)
+    def roundMetrics: Map[String, Long] = bloomSizing(cfg) ++ Map(
       "round" -> round.toLong,
       "fetched" -> m(obsFetch, "n"),
       "ok" -> m(obsFetch, "ok"),
@@ -505,11 +548,26 @@ object CrawlLoop {
       "enqueued" -> m(obsNew, "n"),
       "datasets_quarantined" -> m(obsParsed, "dsQ"),
       "files_quarantined" -> m(obsParsed, "fQ"),
-    ), note = s"round $round")
+    )
+    def release(): Unit = {
+      releaseDrain()
+      Seq[Dataset[_]](fetched, parsed, newLinks)
+        .foreach(_.unpersist(blocking = false))
+    }
 
-    releaseDrain()
-    Seq[Dataset[_]](fetched, parsed, newLinks)
-      .foreach(_.unpersist(blocking = false))
+    val handle =
+      if (cfg.pipelineCommits) {
+        Some(g.commitPipelined(spark, writes, roundMetrics,
+          note = s"round $round", onComplete = () => release()))
+      } else {
+        g.commit(spark, writes, roundMetrics, note = s"round $round")
+        release()
+        None
+      }
+    // phase A fired the fetch/link/new observations either way
+    RoundResult(handle,
+      pendingAfter = pendingBefore - m(obsFetch, "n") + m(obsNew, "n"),
+      fetched = m(obsFetch, "n"), enqueued = m(obsNew, "n"))
   }
 
   /** Priority-queue drain: the per-host top-`budget` tasks by

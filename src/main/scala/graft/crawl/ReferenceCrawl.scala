@@ -110,7 +110,9 @@ object ReferenceCrawl {
 
   def run(cfg: RepoConfig, hostBudget: Map[String, Int],
           maxRounds: Int,
-          cleanup: CleanupConfig = CleanupConfig()): CrawlResult = {
+          cleanup: CleanupConfig = CleanupConfig(),
+          client: Option[FetchClient] = None): CrawlResult = {
+    val fetchClient: FetchClient = client.getOrElse(SyntheticFetchClient(cfg))
     val frontier = mutable.ArrayBuffer.empty[FetchTask]
     val seen = mutable.LinkedHashSet.empty[String]
     val headSizes = mutable.HashMap.empty[String, Long]
@@ -141,7 +143,7 @@ object ReferenceCrawl {
 
       selected.zipWithIndex.foreach { case (task, i) =>
         val seq = i + 1
-        val page = SyntheticRepo.fetch(cfg, task.url)
+        val page = fetchClient.fetch(task.url)
         attempts += page.attempts
         log += LogEntry(round, seq, task.url, task.host, task.depth,
           page.status, page.links.size, page.attempts)

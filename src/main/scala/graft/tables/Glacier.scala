@@ -44,8 +44,9 @@ final class Glacier(val root: String) {
   val Replace: Glacier.Replace.type = Glacier.Replace
   def TableWrite(table: String, df: DataFrame, mode: Mode,
                  rows: Option[() => Long] = None,
-                 stage: Int = 0): Glacier.TableWrite =
-    Glacier.TableWrite(table, df, mode, rows, stage)
+                 stage: Int = 0,
+                 barrier: Boolean = false): Glacier.TableWrite =
+    Glacier.TableWrite(table, df, mode, rows, stage, barrier)
 
   private implicit val fmts: Formats = DefaultFormats
   private val SnapJsonRe = "^snap-(\\d+)\\.json$".r
@@ -188,47 +189,68 @@ final class Glacier(val root: String) {
 
   /** Atomically commit one snapshot containing all `writes` plus carried-
     * forward state of untouched tables. Returns the new snapshot id.
+    * Joins any pipelined commit still in flight first (one manifest chain,
+    * one writer at a time).
     */
   def commit(spark: SparkSession, writes: Seq[TableWrite],
              metrics: => Map[String, Long] = Map.empty,
-             note: String = ""): Long = synchronized {
+             note: String = ""): Long = {
+    drainPending()
+    commitLocked(writes, metrics, note)
+  }
+
+  private def commitLocked(writes: Seq[TableWrite],
+                           metrics: => Map[String, Long],
+                           note: String): Long = synchronized {
     Files.createDirectories(metaDir)
     val parent = currentManifest
     val newId = parent.map(_.snapshotId + 1).getOrElse(1L)
+    writeStages(newId, writes)
+    val written = tableStates(newId, writes, parent)
+    flip(newId, parent, written, metrics, note)
+    newId
+  }
 
+  /** Write the staged parquet dirs for `ws` under snapshot `newId`.
+    *
+    * Table writes run SERIALLY by default: each write is one Spark job
+    * that already parallelizes across the cluster, and measurement showed
+    * concurrent submission in a shared executor is an anti-optimization —
+    * two heavy jobs racing for the same task slots + cache blocks ran the
+    * same round 4-5× slower at 32 local cores (140 s vs 26 s round-1
+    * wall; see BENCH.md round 2). On a real multi-executor cluster where
+    * single small writes genuinely under-fill the cluster, set
+    * SPARK_GRAFT_COMMIT_PAR>1 to overlap them — `TableWrite.stage`
+    * ordering (ascending stages, concurrency only within a stage) still
+    * protects writes that share an uncached upstream chain. Order-
+    * sensitive effects (manifest, row-count thunks) happen after the
+    * final barrier either way.
+    */
+  private def writeStages(newId: Long, ws: Seq[TableWrite]): Unit = {
+    if (ws.isEmpty) return
     val verbose = sys.env.contains("SPARK_GRAFT_COMMIT_VERBOSE")
-    // Table writes run SERIALLY by default: each write is one Spark job
-    // that already parallelizes across the cluster, and measurement showed
-    // concurrent submission in a shared executor is an anti-optimization —
-    // two heavy jobs racing for the same task slots + cache blocks ran the
-    // same round 4-5× slower at 32 local cores (140 s vs 26 s round-1
-    // wall; see BENCH.md round 2). On a real multi-executor cluster where
-    // single small writes genuinely under-fill the cluster, set
-    // SPARK_GRAFT_COMMIT_PAR>1 to overlap them — `TableWrite.stage`
-    // ordering (ascending stages, concurrency only within a stage) still
-    // protects writes that share an uncached upstream chain. Order-
-    // sensitive effects (manifest, row-count thunks) happen after the
-    // final barrier either way.
-    locally {
-      val par = sys.env.getOrElse("SPARK_GRAFT_COMMIT_PAR", "1").toInt
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.max(1, math.min(par, writes.size)))
-      try {
-        import scala.jdk.CollectionConverters._
-        writes.groupBy(_.stage).toSeq.sortBy(_._1).foreach { case (_, ws) =>
-          val tasks: Seq[java.util.concurrent.Callable[Unit]] = ws.map { w =>
-            () => {
-              val t0 = System.nanoTime()
-              w.df.write.mode("overwrite").parquet(s"${dataDir(newId)}/${w.table}")
-              if (verbose) System.err.println(
-                f"[commit] snap-$newId ${w.table}%-10s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
-            }
+    val par = sys.env.getOrElse("SPARK_GRAFT_COMMIT_PAR", "1").toInt
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(par, ws.size)))
+    try {
+      import scala.jdk.CollectionConverters._
+      ws.groupBy(_.stage).toSeq.sortBy(_._1).foreach { case (_, group) =>
+        val tasks: Seq[java.util.concurrent.Callable[Unit]] = group.map { w =>
+          () => {
+            val t0 = System.nanoTime()
+            w.df.write.mode("overwrite").parquet(s"${dataDir(newId)}/${w.table}")
+            if (verbose) System.err.println(
+              f"[commit] snap-$newId ${w.table}%-10s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
           }
-          pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
         }
-      } finally pool.shutdown()
-    }
-    val written: Map[String, TableState] = writes.map { w =>
+        pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
+      }
+    } finally pool.shutdown()
+  }
+
+  private def tableStates(newId: Long, writes: Seq[TableWrite],
+                          parent: Option[Manifest]): Map[String, TableState] =
+    writes.map { w =>
       val dir = s"${dataDir(newId)}/${w.table}"
       val local = Paths.get(dir)
       val paths = scala.util.Using.resource(Files.list(local)) { stream =>
@@ -268,19 +290,143 @@ final class Glacier(val root: String) {
       w.table -> TableState(parentFiles :+ dir, parentRows + rows, parts)
     }.toMap
 
-    val carried = parent.map(_.tables).getOrElse(Map.empty) -- written.keySet
-    val m = Manifest(newId, parent.map(_.snapshotId), carried ++ written,
-                     metrics, note)
+  /** Write the manifest and flip CURRENT — the atomic commit point, as a
+    * COMPARE-AND-SWAP on the parent id: under an exclusive lock (a JVM-wide
+    * per-root monitor nested inside an OS file lock on `meta/COMMIT_LOCK`,
+    * covering both same-process and cross-process committers) verify
+    * CURRENT still names the parent this commit was built on, then publish
+    * manifest + pointer. A committer that lost the race gets a retryable
+    * [[Glacier.CommitConflictException]] and publishes NOTHING — two
+    * drivers on one root can no longer silently fork history with
+    * last-writer-wins. (Caveat, documented: the LOSER's staged
+    * `data/snap-<id>/` writes may have raced the winner's on a shared
+    * root — retry re-stages; on an object store this maps to staging
+    * under unique keys + a conditional-put of the pointer.)
+    */
+  private def flip(newId: Long, parent: Option[Manifest],
+                   written: Map[String, TableState],
+                   metrics: Map[String, Long], note: String): Unit =
+    synchronized {
+      Glacier.rootLock(root).synchronized {
+        val ch = java.nio.channels.FileChannel.open(
+          metaDir.resolve("COMMIT_LOCK"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val osLock = ch.lock()
+          try {
+            val cur = currentSnapshotId
+            if (cur != parent.map(_.snapshotId))
+              throw new Glacier.CommitConflictException(
+                s"CURRENT moved to $cur while committing snap-$newId on " +
+                  s"parent ${parent.map(_.snapshotId)}; re-read and retry")
+            val carried =
+              parent.map(_.tables).getOrElse(Map.empty) -- written.keySet
+            val m = Manifest(newId, parent.map(_.snapshotId),
+                             carried ++ written, metrics, note)
+            Files.writeString(metaDir.resolve(s"snap-$newId.json"),
+                              Serialization.writePretty(m))
+            val tmp = metaDir.resolve(s"CURRENT.tmp-$newId")
+            Files.writeString(tmp, newId.toString)
+            Files.move(tmp, metaDir.resolve("CURRENT"),
+                       StandardCopyOption.ATOMIC_MOVE,
+                       StandardCopyOption.REPLACE_EXISTING)
+          } finally osLock.release()
+        } finally ch.close()
+      }
+    }
 
-    Files.writeString(metaDir.resolve(s"snap-$newId.json"),
-                      Serialization.writePretty(m))
-    // the atomic commit point:
-    val tmp = metaDir.resolve(s"CURRENT.tmp-$newId")
-    Files.writeString(tmp, newId.toString)
-    Files.move(tmp, metaDir.resolve("CURRENT"),
-               StandardCopyOption.ATOMIC_MOVE,
-               StandardCopyOption.REPLACE_EXISTING)
-    newId
+  // ---- pipelined commit ----------------------------------------------------
+
+  // One background lane per Glacier root: FIFO submission serializes the
+  // manifest chain (commit N's background phase always finishes before
+  // commit N+1's starts), so "one writer at a time" holds without locks
+  // around the Spark writes themselves.
+  private lazy val pipelinePool = java.util.concurrent.Executors
+    .newSingleThreadExecutor { r =>
+      val t = new Thread(r, s"glacier-commit-$root")
+      t.setDaemon(true)
+      t
+    }
+  @volatile private var headPending: Option[PendingCommit] = None
+
+  /** Join the in-flight pipelined commit, if any, rethrowing its failure.
+    * MUST be called (and is) outside `synchronized` — the background phase
+    * takes the same lock to flip. */
+  def drainPending(): Unit = headPending.foreach(_.await())
+
+  /** Two-phase pipelined commit — the cross-snapshot overlap lever for a
+    * BSP loop: round N's bulk output writes are dead time the next round's
+    * drain+fetch can hide behind.
+    *
+    * Phase A (caller thread, returns when done): writes marked `barrier` —
+    * the tables the NEXT round must read (frontier/seen/bloom) — staged
+    * serially in stage order. Phase B (single background lane): the
+    * remaining writes, footer lineage, manifest, CURRENT flip, then
+    * `onComplete` (cache release). The handle's `read` serves barrier
+    * tables from their staged dirs plus carried ancestor state, so the next
+    * round can start BEFORE this snapshot flips.
+    *
+    * Invariants kept from the serial design: writes of ONE snapshot never
+    * race each other (phase A serial, phase B serial, stages honored
+    * within each — the round-2 same-chain race stays impossible); the
+    * manifest chain is strictly serial (single lane, FIFO); a kill at any
+    * point leaves CURRENT on the last fully-flipped snapshot and only
+    * orphan staged dirs (rerun overwrites them). A background failure
+    * poisons the chain: later pipelined commits and any sync commit
+    * rethrow it instead of forking history.
+    */
+  def commitPipelined(spark: SparkSession, writes: Seq[TableWrite],
+                      metrics: => Map[String, Long] = Map.empty,
+                      note: String = "",
+                      onComplete: () => Unit = () => ()): PendingCommit = {
+    Files.createDirectories(metaDir)
+    val (newId, prevHandle, base) = synchronized {
+      // a completed-successful head is equivalent to no head (its state is
+      // in currentManifest); a failed head poisons the chain via await below
+      val prev = headPending.filterNot(h => h.isDone && !h.failed)
+      val id = prev.map(_.snapshotId + 1)
+        .orElse(currentSnapshotId.map(_ + 1)).getOrElse(1L)
+      val baseView: Map[String, List[String]] = prev.map(_.readableTables)
+        .getOrElse(currentManifest
+          .map(_.tables.view.mapValues(_.files).toMap)
+          .getOrElse(Map.empty))
+      (id, prev, baseView)
+    }
+    prevHandle.filter(_.failed).foreach(_.await()) // rethrow, fail fast
+    val (front, back) = writes.partition(_.barrier)
+    writeStages(newId, front) // phase A: durable before the handle returns
+    val readable: Map[String, List[String]] = {
+      val dropped = base -- back.map(_.table) // their dirs don't exist yet
+      front.foldLeft(dropped) { (acc, w) =>
+        val dir = s"${dataDir(newId)}/${w.table}"
+        val parentDirs = w.mode match {
+          case Append  => acc.getOrElse(w.table, Nil)
+          case Replace => Nil
+        }
+        acc + (w.table -> (parentDirs :+ dir))
+      }
+    }
+    val fut = new java.util.concurrent.CompletableFuture[Long]()
+    val handle = new PendingCommit(newId, readable, fut)
+    synchronized { headPending = Some(handle) }
+    pipelinePool.submit(new Runnable {
+      def run(): Unit =
+        try {
+          prevHandle.foreach(_.await()) // FIFO ⇒ instant unless it failed
+          writeStages(newId, back)
+          val parent = currentManifest // prev flipped by the await above
+          require(parent.map(_.snapshotId + 1).getOrElse(1L) == newId,
+            s"pipelined commit $newId lost its parent (CURRENT moved)")
+          val written = tableStates(newId, writes, parent)
+          flip(newId, parent, written, metrics, note)
+          onComplete()
+          fut.complete(newId)
+        } catch {
+          case t: Throwable => fut.completeExceptionally(t)
+        }
+    })
+    handle
   }
 
   // ---- maintenance ---------------------------------------------------------
@@ -308,7 +454,12 @@ final class Glacier(val root: String) {
     * snapshots is untouched (their manifests may reference old data dirs —
     * those are kept). Returns the expired snapshot ids.
     */
-  def expireSnapshots(keepLast: Int): Seq[Long] = synchronized {
+  def expireSnapshots(keepLast: Int): Seq[Long] = {
+    drainPending() // outside the lock — the pipeline thread flips under it
+    expireLocked(keepLast)
+  }
+
+  private def expireLocked(keepLast: Int): Seq[Long] = synchronized {
     require(keepLast >= 1, "must retain at least the current snapshot")
     val all = scala.util.Using.resource(Files.list(metaDir)) { s =>
       s.iterator().asScala.map(_.getFileName.toString)
@@ -450,6 +601,22 @@ final class Glacier(val root: String) {
 }
 
 object Glacier {
+  /** The commit lost the CURRENT compare-and-swap to another committer on
+    * the same root: nothing was published. Retryable — re-invoke the
+    * commit; it re-reads the new current snapshot as its parent. */
+  final class CommitConflictException(msg: String)
+      extends RuntimeException(msg)
+
+  // JVM-wide per-root monitor: OS file locks are per-process (a second
+  // lock() from the same JVM throws OverlappingFileLockException instead
+  // of waiting), so same-process committers on one root serialize here
+  // first, then take the cross-process file lock.
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[tables] def rootLock(root: String): Object =
+    rootLocks.computeIfAbsent(
+      Paths.get(root).toAbsolutePath.normalize.toString, _ => new Object)
+
   /** Per-column zone-map entry recorded from the parquet footer at commit
     * time: physical-ish type tag ("long"/"int"/"double"/"float"/"boolean"/
     * "string"), min/max rendered as strings (None when the part is
@@ -479,10 +646,37 @@ object Glacier {
     * the read-back count job (the crawl loop already knows every delta's
     * cardinality from its metric aggregations). `stage`: writes in a lower
     * stage complete before a higher stage starts — the caller's way to
-    * declare "this write materializes a cache that one reads".
+    * declare "this write materializes a cache that one reads". `barrier`:
+    * under [[Glacier.commitPipelined]], barrier writes complete on the
+    * caller thread before the handle returns (the tables the next round
+    * must read); non-barrier writes continue in the background.
     */
   final case class TableWrite(table: String, df: DataFrame, mode: Mode,
                               rows: Option[() => Long] = None,
-                              stage: Int = 0)
+                              stage: Int = 0,
+                              barrier: Boolean = false)
 
+  /** Handle to a pipelined commit in flight (see
+    * [[Glacier.commitPipelined]]). `read` serves the tables whose bytes are
+    * already durable — the barrier writes of this commit (staged dirs) plus
+    * state carried from fully-written ancestors; a table touched by a
+    * still-running background write is NOT readable (its dirs don't exist
+    * yet) and returns None. `await` joins the background phase and returns
+    * the committed snapshot id, rethrowing its failure.
+    */
+  final class PendingCommit private[tables] (
+      val snapshotId: Long,
+      private[tables] val readableTables: Map[String, List[String]],
+      completion: java.util.concurrent.CompletableFuture[Long]) {
+    def read(spark: SparkSession, table: String): Option[DataFrame] =
+      readableTables.get(table).filter(_.nonEmpty)
+        .map(dirs => spark.read.parquet(dirs: _*))
+    def await(): Long =
+      try completion.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      }
+    def isDone: Boolean = completion.isDone
+    def failed: Boolean = completion.isCompletedExceptionally
+  }
 }

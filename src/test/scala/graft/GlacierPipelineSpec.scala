@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.CountDownLatch
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tables.Glacier
+
+/** The two commit-protocol hardenings: (1) pipelined two-phase commits —
+  * barrier tables durable + readable before the snapshot flips, bulk
+  * writes/manifest on the background lane, failure poisoning instead of
+  * history forks; (2) CURRENT compare-and-swap — two committers on one
+  * root cannot silently fork history, the loser gets a retryable conflict.
+  */
+class GlacierPipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("glacier-pipe").toString
+
+  private def causes(t: Throwable): List[Throwable] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toList
+
+  test("pipelined commit: barrier tables readable before flip; bulk after await") {
+    val g = new Glacier(tmpRoot())
+    g.commit(spark, Seq(
+      g.TableWrite("state", Seq(1, 2).toDF("v"), g.Append),
+      g.TableWrite("bulk", Seq("a").toDF("s"), g.Append)))
+    val h = g.commitPipelined(spark, Seq(
+      g.TableWrite("state", Seq(3).toDF("v"), g.Append, barrier = true),
+      g.TableWrite("fresh", Seq(9).toDF("v"), g.Replace, barrier = true),
+      g.TableWrite("bulk", Seq("b").toDF("s"), g.Append)),
+      note = "pipe")
+    // BEFORE await: barrier tables serve parent dirs + staged delta
+    assert(h.read(spark, "state").get.as[Int].collect().sorted
+      === Array(1, 2, 3))
+    assert(h.read(spark, "fresh").get.as[Int].collect() === Array(9))
+    // a table touched by a background write is NOT readable from the handle
+    assert(h.read(spark, "bulk").isEmpty)
+    val id = h.await()
+    assert(id === 2L)
+    assert(g.currentSnapshotId === Some(2L))
+    // committed manifest has everything, counts included
+    assert(g.read(spark, "bulk").get.as[String].collect().sorted
+      === Array("a", "b"))
+    assert(g.rowCount("state") === 3L)
+    assert(g.currentManifest.get.note === "pipe")
+  }
+
+  test("chained pipelined commits stay a serial snapshot chain") {
+    val g = new Glacier(tmpRoot())
+    g.commit(spark, Seq(g.TableWrite("t", Seq(0).toDF("v"), g.Append)))
+    val h1 = g.commitPipelined(spark, Seq(
+      g.TableWrite("t", Seq(1).toDF("v"), g.Append, barrier = true),
+      g.TableWrite("out", Seq("x1").toDF("s"), g.Append)))
+    // second pipelined commit issued while the first may still be in flight
+    val h2 = g.commitPipelined(spark, Seq(
+      g.TableWrite("t", Seq(2).toDF("v"), g.Append, barrier = true),
+      g.TableWrite("out", Seq("x2").toDF("s"), g.Append)))
+    assert(h2.snapshotId === h1.snapshotId + 1)
+    // the second handle's view chains through the first's staged dirs
+    assert(h2.read(spark, "t").get.as[Int].collect().sorted
+      === Array(0, 1, 2))
+    assert(h2.await() === 3L)
+    val hist = g.history.map(m => (m.snapshotId, m.parentId))
+    assert(hist === Seq((1L, None), (2L, Some(1L)), (3L, Some(2L))))
+    assert(g.read(spark, "out").get.as[String].collect().sorted
+      === Array("x1", "x2"))
+  }
+
+  test("sync commit drains the pipeline; rowCounts stay exact") {
+    val g = new Glacier(tmpRoot())
+    val h = g.commitPipelined(spark, Seq(
+      g.TableWrite("t", Seq(1, 2, 3).toDF("v"), g.Append, barrier = true),
+      g.TableWrite("log", Seq("r1").toDF("s"), g.Append)))
+    // sync commit must join the in-flight background phase first
+    val s = g.commit(spark, Seq(
+      g.TableWrite("log", Seq("r2").toDF("s"), g.Append)))
+    assert(h.isDone && !h.failed)
+    assert(s === 2L)
+    assert(g.rowCount("t") === 3L)
+    assert(g.rowCount("log") === 2L)
+  }
+
+  test("background failure poisons the chain instead of forking history") {
+    val g = new Glacier(tmpRoot())
+    g.commit(spark, Seq(g.TableWrite("t", Seq(1).toDF("v"), g.Append)))
+    val failing = spark.range(4).select(raise_error(lit("boom")).as("s"))
+    val h = g.commitPipelined(spark, Seq(
+      g.TableWrite("t", Seq(2).toDF("v"), g.Append, barrier = true),
+      g.TableWrite("crash", failing, g.Append)))
+    val ex = intercept[Throwable](h.await())
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(t => String.valueOf(t.getMessage).contains("boom")))
+    assert(h.failed)
+    // CURRENT never moved; the staged barrier dir is orphan garbage
+    assert(g.currentSnapshotId === Some(1L))
+    assert(g.rowCount("t") === 1L)
+    // the next sync commit rethrows the poison instead of committing on top
+    val ex2 = intercept[Throwable] {
+      g.commit(spark, Seq(g.TableWrite("t", Seq(3).toDF("v"), g.Append)))
+    }
+    assert(causes(ex2).exists(t => String.valueOf(t.getMessage).contains("boom")))
+    // a FRESH handle on the same root (rerun after a crash) recovers from
+    // the last flipped snapshot
+    val g2 = new Glacier(g.root)
+    assert(g2.commit(spark,
+      Seq(g2.TableWrite("t", Seq(3).toDF("v"), g2.Append))) === 2L)
+    assert(g2.rowCount("t") === 2L)
+  }
+
+  test("CURRENT compare-and-swap: racing committers, one wins, loser conflicts") {
+    val root = tmpRoot()
+    val g0 = new Glacier(root)
+    g0.commit(spark, Seq(g0.TableWrite("t", Seq(0).toDF("v"), g0.Append)))
+    // two INDEPENDENT Glacier instances (no shared object monitor): both
+    // read parent snap-1, then race the flip. A writes slowly (big df), B
+    // starts mid-A and flips first; A must lose with a retryable conflict.
+    val gA = new Glacier(root)
+    val gB = new Glacier(root)
+    val slow = spark.range(3000000L).select(col("id"),
+      sha2(concat_ws("-", col("id"), col("id") * 7), 256).as("h"))
+    val started = new CountDownLatch(1)
+    @volatile var aResult: Either[Throwable, Long] = Left(new Exception("unset"))
+    val tA = new Thread(() => {
+      started.countDown()
+      aResult =
+        try Right(gA.commit(spark, Seq(gA.TableWrite("big", slow, gA.Append))))
+        catch { case t: Throwable => Left(t) }
+    })
+    tA.start()
+    started.await()
+    Thread.sleep(300) // let A enter its table write, before its flip
+    val bId = gB.commit(spark, Seq(gB.TableWrite("small", Seq(1).toDF("v"),
+      gB.Append)))
+    tA.join(120000)
+    (aResult, bId) match {
+      case (Left(t), 2L) =>
+        assert(t.isInstanceOf[Glacier.CommitConflictException],
+          s"loser must get a retryable conflict, got $t")
+        // retry from the loser succeeds on the new parent
+        val retried = gA.commit(spark,
+          Seq(gA.TableWrite("big2", Seq(5).toDF("v"), gA.Append)))
+        assert(retried === 3L)
+      case (Right(aId), _) =>
+        // A finished before B started its flip — no race this run; history
+        // must still be strictly linear
+        assert(Set(aId, bId) === Set(2L, 3L))
+      case other => fail(s"unexpected outcome $other")
+    }
+    val g1 = new Glacier(root)
+    val hist = g1.history
+    assert(hist.map(_.snapshotId) === hist.indices.map(_ + 1L))
+    hist.sliding(2).foreach {
+      case Seq(p, c) => assert(c.parentId === Some(p.snapshotId))
+      case _         =>
+    }
+  }
+}
