@@ -150,5 +150,54 @@ object AnalyzeOps {
           FROM customer RIGHT JOIN orders ON c_custkey = o_custkey
           GROUP BY 1 ORDER BY 1"""),
     ),
+
+    // ---- year × engine SIZE pivot (plot_timeline_size_engine,
+    // analyze.py:354-373): trajectory-category files only, size summed per
+    // (year, engine) — mean = sum/n is derivable, the sum is bit-exact.
+    // Declared pivot domain → single shuffle, same plan shape as
+    // q_ext_engine_pivot.
+    QueryEntry(
+      "q_ext_size_pivot",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"))
+          .withColumn("year", (pmod(col("doc_id") * 13, lit(15)) + 2010).cast("int"))
+          .withColumn("ext", element_at(typedLit(extPool),
+            (pmod(col("doc_id") * 7, lit(extPool.size)) + 1).cast("int")))
+          .withColumn("size",
+            (pmod(col("doc_id") * 131, lit(100000)) + 1000).cast("long"))
+        d.where(extCategory(col("ext")) === "trajectory")
+          .withColumn("engine", extEngine(col("ext")))
+          .groupBy(col("year"))
+          .pivot("engine", Seq("gromacs", "namd", "amber", "other"))
+          .agg(sum(col("size")))
+          .na.fill(0L)
+          .orderBy("year")
+      },
+      Some(s"""WITH src AS (
+          SELECT doc_id,
+            CAST((doc_id * 13) % 15 + 2010 AS INT) AS year,
+            ($sqlExtPool)[CAST((doc_id * 7) % 12 AS INT) + 1] AS ext,
+            CAST((doc_id * 131) % 100000 + 1000 AS BIGINT) AS size
+          FROM documents),
+        classified AS (
+          SELECT year, size,
+            CASE
+              WHEN lower(ext) IN ('tpr','gro','mdp','itp','ndx','top','xtc','trr','edr','cpt') THEN 'gromacs'
+              WHEN lower(ext) IN ('psf','namd','inp','prm','ntf','crd','dcd','coor','namdbin','vel','xsc') THEN 'namd'
+              WHEN lower(ext) IN ('prmtop','coord','prm7','top','crdbox','inpcrd','mdcrd','nc','ncdf','trj') THEN 'amber'
+              ELSE 'other' END AS engine
+          FROM src
+          WHERE CASE
+              WHEN lower(ext) IN ('tpr','gro','psf','crd','coor','namdbin','coord','pdb') THEN 'coordinate'
+              WHEN lower(ext) IN ('mdp','itp','ndx','top','cpt','namd','inp','prm','ntf','xsc','prmtop') THEN 'topology'
+              WHEN lower(ext) IN ('xtc','trr','edr','dcd','vel','prm7','crdbox','inpcrd','mdcrd','nc','ncdf','trj') THEN 'trajectory'
+              ELSE 'other' END = 'trajectory')
+        SELECT year,
+          coalesce(sum(size) FILTER (WHERE engine = 'gromacs'), 0) AS gromacs,
+          coalesce(sum(size) FILTER (WHERE engine = 'namd'), 0) AS namd,
+          coalesce(sum(size) FILTER (WHERE engine = 'amber'), 0) AS amber,
+          coalesce(sum(size) FILTER (WHERE engine = 'other'), 0) AS other
+        FROM classified GROUP BY year ORDER BY year"""),
+    ),
   )
 }

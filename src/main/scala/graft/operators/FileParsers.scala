@@ -210,5 +210,65 @@ object FileParsers {
           len(list_intersect(resnames, ${ResidueCatalog.sqlList(waterIonSet)})) > 0 AS has_water_ion
         FROM p ORDER BY doc_id"""),
     ),
+
+    // ---- mdp temperature histogram prep (get_info_from_mdp +
+    // plot_temp_count, analyze.py:396-456): FIRST ref_t match per file
+    // (the reference `break`s on the first hit), value kept as a STRING
+    // and counted per distinct temperature, string-sorted.
+    QueryEntry(
+      "q_temp_hist",
+      (s, dir) => {
+        val withContent = t(s, dir, "documents")
+          .select(col("doc_id"), mdpContent.as("content"))
+        val first = element_at(regexp_extract_all(col("content"),
+          lit("(?i)ref[-_ ]?t\\s*=\\s*([^\\s\\n]+)"), lit(1)), 1)
+        withContent.select(first.as("temperature"))
+          .where(col("temperature").isNotNull)
+          .groupBy("temperature").agg(count(lit(1)).as("n"))
+          .orderBy("temperature")
+      },
+      Some(s"""WITH m AS ($sqlMdp),
+        x AS (SELECT list_extract(regexp_extract_all(content,
+            '(?i)ref[-_ ]?t\\s*=\\s*([^\\s\\n]+)', 1), 1) AS temperature
+          FROM m)
+        SELECT temperature, count(*) AS n FROM x
+        WHERE temperature IS NOT NULL
+        GROUP BY temperature ORDER BY temperature"""),
+    ),
+
+    // ---- gro system-size histogram prep (get_info_from_gro +
+    // plot_sys_size_count, analyze.py:458-527): the reference streams each
+    // file and reads ONLY the header (breaks after the atom-count line), so
+    // the twin synthesizes headers — title + count — with counts spanning
+    // all three buckets. Bucket labels are the reference's literal strings
+    // (sic — "1000 > and > 10000" / "> 100000" are its actual labels).
+    QueryEntry(
+      "q_atoms_hist",
+      (s, dir) => {
+        val header = concat_ws("\n",
+          concat(lit("doc "), col("doc_id"), lit(" molecule")),
+          format_string("%8d", pmod(col("doc_id") * 7919, lit(30000)).cast("int")))
+        val withContent = t(s, dir, "documents")
+          .select(col("doc_id"), header.as("content"))
+        val atoms = trim(element_at(split(col("content"), "\n"), 2)).cast("int")
+        withContent.select(
+            when(atoms <= 1000, "<= 1000")
+              .when(atoms <= 10000, "1000 > and > 10000")
+              .otherwise("> 100000").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+          .orderBy("bucket")
+      },
+      Some("""WITH g AS (
+          SELECT 'doc ' || doc_id || ' molecule' || chr(10) ||
+            lpad(CAST((doc_id * 7919) % 30000 AS VARCHAR), 8, ' ') AS content
+          FROM documents),
+        p AS (SELECT CAST(trim(string_split(content, chr(10))[2]) AS INT)
+            AS atoms FROM g)
+        SELECT CASE WHEN atoms <= 1000 THEN '<= 1000'
+                    WHEN atoms <= 10000 THEN '1000 > and > 10000'
+                    ELSE '> 100000' END AS bucket,
+               count(*) AS n
+        FROM p GROUP BY 1 ORDER BY 1"""),
+    ),
   )
 }
