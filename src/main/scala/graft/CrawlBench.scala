@@ -91,9 +91,16 @@ object CrawlBench {
       salts = 8, bloomShards = 64, bloomExpectedPerShard = 1L << 16,
       seenSketch = sketch, pipelineCommits = pipeline)
 
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    val gc0 = gcMs
     val t0 = System.nanoTime()
     val g = CrawlLoop.run(spark, cfg)
     val secs = (System.nanoTime() - t0) / 1e9
+    val loopGcMs = gcMs - gc0
 
     val log = g.read(spark, "crawl_log").get
     val urls = log.count()
@@ -137,6 +144,7 @@ object CrawlBench {
       s""""kernel_urls_per_sec":${urls / kernelSecs},""" +
       s""""kernel_seconds":$kernelSecs,"kernel_rows":$kernelRows,""" +
       s""""sketch":"$sketch","pipeline":$pipeline,""" +
+      s""""loop_gc_ms":$loopGcMs,""" +
       s""""log_checksum":"$checksum"}""")
     spark.stop()
   }

@@ -319,7 +319,10 @@ object CrawlLoop {
           "round" -> lastRound, // resume reads `round` off the latest snapshot
           "files_excluded" -> exclusionCounts.map(_._2).sum,
         )
-    }, note = "post-pass")
+    // par=2: the two rewrites share NO cached chain (the cascade/fpIds are
+    // recomputed per consumer by design), so racing them is safe and fills
+    // the cluster where one alone under-parallelizes
+    }, note = "post-pass", par = 2)
   }
 
   /** What a round hands back to the loop: the observation-derived counts
@@ -435,12 +438,21 @@ object CrawlLoop {
         count_if(!$"gate").as("gated"))
       .filter($"gate" && $"rob").drop("gate", "rob")
 
-    // first-wins within the round: earliest (seqInRound, ordinal) per url
-    val wUrl = Window.partitionBy($"url")
-      .orderBy($"seqInRound".asc, $"ordinal".asc)
+    // first-wins within the round: earliest (seqInRound, ordinal) per url.
+    // min(struct(..)) instead of a row_number window: (seqInRound, ordinal)
+    // is unique per link occurrence, so the lexicographic struct minimum IS
+    // the window winner — but Min partial-aggregates (map-side combine
+    // shrinks the shuffle to distinct urls per partition) and skips the
+    // per-key sort a window pays. At 100 TB the links→dedup shuffle is the
+    // round's largest; this bounds it by distinct-url volume, not link
+    // volume.
     val obsFirst = Observation(s"first_r$round")
     val firstWins = allowedLinks
-      .withColumn("rn", row_number().over(wUrl)).filter($"rn" === 1).drop("rn")
+      .groupBy($"url")
+      .agg(min(struct($"seqInRound", $"ordinal", $"depth", $"score"))
+        .as("__w"))
+      .select($"__w.seqInRound".as("seqInRound"), $"__w.depth".as("depth"),
+        $"url", $"__w.ordinal".as("ordinal"), $"__w.score".as("score"))
       .observe(obsFirst, count(lit(1)).as("n"))
 
     // seen check: Bloom fast path (shard-cogrouped, fully distributed —

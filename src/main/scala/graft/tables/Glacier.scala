@@ -194,18 +194,18 @@ final class Glacier(val root: String) {
     */
   def commit(spark: SparkSession, writes: Seq[TableWrite],
              metrics: => Map[String, Long] = Map.empty,
-             note: String = ""): Long = {
+             note: String = "", par: Int = 1): Long = {
     drainPending()
-    commitLocked(writes, metrics, note)
+    commitLocked(writes, metrics, note, par)
   }
 
   private def commitLocked(writes: Seq[TableWrite],
                            metrics: => Map[String, Long],
-                           note: String): Long = synchronized {
+                           note: String, par: Int = 1): Long = synchronized {
     Files.createDirectories(metaDir)
     val parent = currentManifest
     val newId = parent.map(_.snapshotId + 1).getOrElse(1L)
-    writeStages(newId, writes)
+    writeStages(newId, writes, par)
     val written = tableStates(newId, writes, parent)
     flip(newId, parent, written, metrics, note)
     newId
@@ -226,10 +226,15 @@ final class Glacier(val root: String) {
     * sensitive effects (manifest, row-count thunks) happen after the
     * final barrier either way.
     */
-  private def writeStages(newId: Long, ws: Seq[TableWrite]): Unit = {
+  private def writeStages(newId: Long, ws: Seq[TableWrite],
+                          callerPar: Int = 1): Unit = {
     if (ws.isEmpty) return
     val verbose = sys.env.contains("SPARK_GRAFT_COMMIT_VERBOSE")
-    val par = sys.env.getOrElse("SPARK_GRAFT_COMMIT_PAR", "1").toInt
+    // caller-requested within-stage concurrency (for writes KNOWN to share
+    // no uncached chain — e.g. the post-pass's two independent rewrites);
+    // the env var stays as the cluster-deploy override
+    val par = math.max(callerPar,
+      sys.env.getOrElse("SPARK_GRAFT_COMMIT_PAR", "1").toInt)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(par, ws.size)))
     try {
