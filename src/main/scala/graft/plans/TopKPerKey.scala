@@ -50,10 +50,14 @@ import org.apache.spark.sql.types.IntegerType
   * is total — the drain's ordering includes the unique discovery seq).
   *
   * Memory: per task, heaps hold ≤ k rows per distinct key in that
-  * partition — the same non-spilling envelope as Spark's own
-  * `TakeOrderedAndProjectExec` generalized per key. For huge
-  * key-cardinality × large k, a sort-based plan is the right tool; this
-  * node targets the bounded-budget frontier shape (hosts × budget).
+  * partition. The partial pass degrades gracefully past its key budget
+  * (new keys stream through unpruned); the final pass is exact AND
+  * bounded — past `spark.graft.topk.maxRetainedRows` retained rows, rows
+  * of further keys hash-spill to local disk and each spill bucket is
+  * processed recursively ([[TopKHeaps.topKExact]]), so key-cardinality ×
+  * k beyond task memory costs disk passes, never an OOM. A SINGLE key
+  * whose own k exceeds memory is the one remaining unbounded shape (same
+  * envelope as `TakeOrderedAndProjectExec`'s k).
   */
 case class TopKPerKeyNode(
     keys: Seq[Expression],
@@ -85,14 +89,17 @@ object TopKHeaps {
     private var n = 0
     private var heapified = false
 
-    def offer(row: InternalRow): Unit =
+    /** Returns the retained-row growth (1 on append, 0 on replace/drop)
+      * so the exact pass can meter its memory budget. */
+    def offer(row: InternalRow): Int =
       if (n < k) {
         if (n == arr.length)
           arr = java.util.Arrays.copyOf(arr, math.min(k.toLong, arr.length * 2L).toInt)
-        arr(n) = row.copy(); n += 1
+        arr(n) = row.copy(); n += 1; 1
       } else {
         if (!heapified) { heapify(); heapified = true }
         if (ord.compare(row, arr(0)) < 0) { arr(0) = row.copy(); siftDown(0) }
+        0
       }
 
     // max-heap on `ord`: arr(0) is the worst kept row
@@ -129,12 +136,8 @@ object TopKHeaps {
     * — so degradation under extreme key cardinality (e.g. the
     * first-wins URL dedup the rewrite rule captures, where keys ≈ rows)
     * costs shuffle volume, never correctness or unbounded memory. The
-    * final pass runs with `maxKeys = MaxValue`: it must group fully,
-    * giving it the memory envelope of a hash aggregation over its
-    * partition's keys×k survivors (per-key k is small by construction
-    * for budget-style workloads; a spill-to-sort fallback like
-    * HashAggregate's is the named future hardening for k·keys beyond
-    * memory).
+    * final pass uses [[topKExact]], which must group fully but
+    * hash-spills past its row budget instead of growing without bound.
     */
   def topK(
       iter: Iterator[InternalRow],
@@ -186,6 +189,124 @@ object TopKHeaps {
         else { if (!hasNext) Iterator.empty.next(); drainIt.next() }
     }
   }
+
+  /** Hash-partitioned local-disk spill: overflow rows land in `fanout`
+    * temp files keyed by a depth-seeded hash of the grouping key (the
+    * reseed matters — recursing with the SAME hash would send a bucket's
+    * every key back to one child bucket and never shrink). UnsafeRow
+    * wire format: [int size][row bytes]. Files are deleted as each
+    * bucket's read completes, and unconditionally on task end.
+    */
+  private final class Spiller(numFields: Int, fanout: Int, depth: Int) {
+    import java.io._
+    private val files = new Array[File](fanout)
+    private val outs = new Array[DataOutputStream](fanout)
+    private val writeBuf = new Array[Byte](4096)
+    var rows = 0L
+
+    // best-effort cleanup if the task dies mid-spill
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => files.foreach(f => if (f != null) f.delete())))
+
+    def write(keyHash: Int, row: UnsafeRow): Unit = {
+      val mixed = scala.util.hashing.byteswap32(keyHash ^ (depth * 0x9e3779b9))
+      val b = (mixed >>> 1) % fanout
+      if (outs(b) == null) {
+        files(b) = File.createTempFile(s"graft-topk-d$depth-b$b-", ".spill")
+        outs(b) = new DataOutputStream(
+          new BufferedOutputStream(new FileOutputStream(files(b)), 1 << 16))
+      }
+      outs(b).writeInt(row.getSizeInBytes)
+      row.writeToStream(outs(b), writeBuf)
+      rows += 1
+    }
+
+    def bucketIterator(b: Int): Iterator[InternalRow] = {
+      if (outs(b) != null) { outs(b).close(); outs(b) = null }
+      val f = files(b)
+      if (f == null) Iterator.empty
+      else new Iterator[InternalRow] {
+        private val in = new DataInputStream(
+          new BufferedInputStream(new FileInputStream(f), 1 << 16))
+        private val row = new UnsafeRow(numFields)
+        private var rowSize = readSize()
+        private def readSize(): Int =
+          try in.readInt()
+          catch { case _: EOFException => in.close(); f.delete(); -1 }
+        override def hasNext: Boolean = rowSize >= 0
+        override def next(): InternalRow = {
+          val bytes = new Array[Byte](rowSize)
+          in.readFully(bytes)
+          row.pointTo(bytes, rowSize)
+          rowSize = readSize()
+          row // consumers copy (KeyHeap.offer / keyProj both copy)
+        }
+      }
+    }
+  }
+
+  /** Exact per-key top-k with bounded memory — the final pass. Unlike
+    * [[topK]] it may not emit unpruned overflow rows (it must be exact),
+    * so past `budgetRows` retained rows, rows of NEW keys hash-spill to
+    * disk ([[Spiller]]) and each bucket recurses with a reseeded hash.
+    * A key is wholly in-memory or wholly in one bucket (the heap lookup
+    * precedes the spill decision on every row), so per-bucket recursion
+    * is exact, and each level admits ≥1 key into memory before spilling
+    * (budgetRows ≥ 1), so recursion strictly shrinks and terminates.
+    * Depth is capped defensively at 64; past it the pass completes
+    * in-memory (still exact — the budget, not correctness, is abandoned).
+    *
+    * Consumes the input eagerly: a final pass can emit nothing until the
+    * partition is exhausted anyway, so laziness buys nothing here.
+    */
+  def topKExact(
+      iter: Iterator[InternalRow],
+      keys: Seq[Expression],
+      order: Seq[SortOrder],
+      limit: Expression,
+      input: Seq[Attribute],
+      budgetRows: Long,
+      fanout: Int = 32,
+      depth: Int = 0,
+      onSpill: Long => Unit = _ => ()): Iterator[InternalRow] = {
+    if (!iter.hasNext) return Iterator.empty
+    val keyProj = UnsafeProjection.create(keys, input)
+    val limitProj = UnsafeProjection.create(Seq(Cast(limit, IntegerType)), input)
+    val ord = RowOrdering.create(order, input)
+    val toUnsafe = UnsafeProjection.create(input.map(_.dataType).toArray)
+    val heaps = new JHashMap[UnsafeRow, KeyHeap]()
+    val budget = math.max(1L, budgetRows)
+    var retained = 0L
+    var spiller: Spiller = null
+
+    while (iter.hasNext) {
+      val row = iter.next()
+      val lim = limitProj(row)
+      val k = if (lim.isNullAt(0)) 0 else lim.getInt(0)
+      if (k > 0) {
+        val key = keyProj(row)
+        val h = heaps.get(key)
+        if (h != null) retained += h.offer(row)
+        else if (retained < budget || depth >= 64) {
+          val nh = new KeyHeap(k, ord)
+          heaps.put(key.copy(), nh)
+          retained += nh.offer(row)
+        } else {
+          if (spiller == null) spiller = new Spiller(input.size, fanout, depth)
+          spiller.write(key.hashCode, toUnsafe(row))
+        }
+      }
+    }
+    val inMem = heaps.values.iterator().asScala.flatMap(_.drain())
+    if (spiller == null) inMem
+    else {
+      onSpill(spiller.rows)
+      val s = spiller
+      inMem ++ (0 until fanout).iterator.flatMap(b =>
+        topKExact(s.bucketIterator(b), keys, order, limit, input,
+          budget, fanout, depth + 1, onSpill))
+    }
+  }
 }
 
 /** Map-side pass: bounds every partition to ≤k rows per key in place —
@@ -213,7 +334,11 @@ case class TopKPerKeyPartialExec(
 }
 
 /** Reduce-side pass: requires clustering on the keys (the planner
-  * inserts the single exchange), emits each key's exact top-k. */
+  * inserts the single exchange), emits each key's exact top-k. Bounded
+  * memory: past `spark.graft.topk.maxRetainedRows` retained rows per
+  * task (default 2^22), overflow keys hash-spill to local disk and
+  * recurse ([[TopKHeaps.topKExact]]); `spillRows` in the SQL metrics
+  * counts diverted rows (summed across recursion levels). */
 case class TopKPerKeyFinalExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
@@ -224,10 +349,17 @@ case class TopKPerKeyFinalExec(
   override def requiredChildDistribution: Seq[Distribution] =
     if (keys.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(keys, requireAllClusterKeys = false, None) :: Nil
+  override lazy val metrics = Map(
+    "spillRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "rows spilled by exact final pass"))
   override protected def doExecute(): RDD[InternalRow] = {
     val (ks, os, lim, in) = (keys, order, limit, child.output)
+    val budget = conf.getConfString(
+      "spark.graft.topk.maxRetainedRows", (1L << 22).toString).toLong
+    val spillMetric = longMetric("spillRows")
     child.execute().mapPartitions(
-      TopKHeaps.topK(_, ks, os, lim, in),
+      TopKHeaps.topKExact(_, ks, os, lim, in, budget,
+        onSpill = spillMetric.add(_)),
       preservesPartitioning = true)
   }
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyFinalExec =

@@ -148,4 +148,80 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(TopKPerKey(empty, Seq(col("host")), Seq(col("id").asc), 3).count() === 0)
     assert(TopKPerKey(frontier, Seq(col("host")), Seq(col("id").asc), lit(0)).count() === 0)
   }
+
+  // ---- final-pass spill fallback -----------------------------------------
+
+  test("topKExact kernel: tiny row budget spills, recurses, stays exact") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Descending, Literal, SortOrder}
+    import org.apache.spark.sql.types.IntegerType
+    import graft.plans.TopKHeaps
+
+    val k = AttributeReference("k", IntegerType)()
+    val v = AttributeReference("v", IntegerType)()
+    val input = Seq(k, v)
+    // 500 keys × 20 rows; top-3 by v desc per key = v in {9980+key pattern}
+    val n = 10000
+    def rows = (0 until n).iterator.map(i => InternalRow(i % 500, i): InternalRow)
+    var spilled = 0L
+    val got = TopKHeaps.topKExact(
+      rows, Seq(k), Seq(SortOrder(v, Descending)), Literal(3), input,
+      budgetRows = 10, fanout = 8, onSpill = spilled += _)
+      .map(r => (r.getInt(0), r.getInt(1))).toVector
+    assert(spilled > 0, "budget of 10 rows over 500 keys must spill")
+    val expect = (0 until n).map(i => (i % 500, i)).groupBy(_._1)
+      .values.flatMap(_.sortBy(-_._2).take(3)).toVector.sorted
+    assert(got.sorted === expect)
+    // duplicate-safe: no row lost or doubled across recursion levels
+    assert(got.size === 1500)
+
+    // k larger than the whole budget for a single key: stays in memory,
+    // exact, no infinite recursion (single-key k is the documented
+    // non-spilling envelope).
+    var sp2 = 0L
+    val one = TopKHeaps.topKExact(
+      (0 until 100).iterator.map(i => InternalRow(7, i): InternalRow),
+      Seq(k), Seq(SortOrder(v, Ascending)), Literal(50), input,
+      budgetRows = 5, fanout = 4, onSpill = sp2 += _)
+      .map(_.getInt(1)).toVector
+    assert(one.sorted === (0 until 50).toVector)
+    assert(sp2 === 0L)
+  }
+
+  test("final-pass spill e2e: exact under a tiny retained-row budget") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    spark.conf.set("spark.graft.topk.maxRetainedRows", "32")
+    try {
+      val base = frontier.withColumn("k", col("id") % 997)
+      val got = TopKPerKey(base, Seq(col("k")),
+        Seq(col("score").desc, col("id").asc), 3).select("k", "id")
+      val w = Window.partitionBy("k").orderBy(col("score").desc, col("id").asc)
+      val ref = base.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).drop("rn").select("k", "id")
+      def sorted(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getInt(0), r.getInt(1))).sorted
+      assert(sorted(got.collect()) === sorted(ref.collect()))
+
+      // the spillRows SQL metric on the exec instance that just ran; AQE
+      // wraps each stage in a leaf QueryStageExec, so descend manually
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.QueryStageExec
+      def finals(p: SparkPlan): Seq[graft.plans.TopKPerKeyFinalExec] = {
+        val here = p match {
+          case f: graft.plans.TopKPerKeyFinalExec => Seq(f); case _ => Nil
+        }
+        val kids = p match {
+          case q: QueryStageExec => Seq(q.plan)
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case other => other.children
+        }
+        here ++ kids.flatMap(finals)
+      }
+      val plan = got.queryExecution.executedPlan
+      val fin = finals(plan)
+      assert(fin.nonEmpty, plan.toString)
+      assert(fin.head.metrics("spillRows").value > 0,
+        "997 keys × budget 32 rows must spill in the final pass")
+    } finally spark.conf.unset("spark.graft.topk.maxRetainedRows")
+  }
 }
