@@ -381,9 +381,22 @@ object CrawlLoop {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- crawl-order log (the parity artifact) ----------------------------
+    // sched_sec: the politeness schedule as lineage — the k-th fetch a host
+    // performs this round (k = per-host rank in fetch order) is stamped at
+    // roundStart + k·(60/rate) simulated seconds, the exact arithmetic of
+    // Politeness.scheduledSecond (the oracle's path; parity asserts
+    // bit-equality). The window runs over the politeness-bounded selected
+    // set (≤ Σ budget rows), not the frontier — bounded at any scale.
+    val secPerFetch = typedLit(
+      Politeness.secondsPerFetch(Politeness.referencePolicies))
+    val kHost = row_number().over(
+      Window.partitionBy($"host").orderBy($"seqInRound".asc)) - 1
     val log = fetched.select(lit(round).as("round"), $"seqInRound",
       $"url", $"host", $"depth", $"status", size($"links").as("nLinks"),
-      $"attempts")
+      $"attempts",
+      (lit(((round - 1) * Politeness.RoundSeconds).toDouble) +
+        kHost * coalesce(element_at(secPerFetch, $"host"), lit(1.0)))
+        .as("sched_sec"))
 
     // ---- docs: interleaved span documents of fetched pages ----------------
     val docs = fetched.filter($"status" === 200)
@@ -547,7 +560,37 @@ object CrawlLoop {
         Some(() => m(obsParsed, "hV")), stage = 2)) else Seq.empty)
     // evaluated at manifest time (background under pipelining — obsParsed
     // fires with the datasets write there)
-    def roundMetrics: Map[String, Long] = bloomSizing(cfg) ++ Map(
+    // Sketch saturation watch: cumulative per-shard fill = the prior
+    // state's `inserted` column (column-pruned — the sketch bytes are
+    // never read) + this round's delta counted off the cached newLinks.
+    // Shards past their sized capacity degrade FPP (bloom) or fail
+    // inserts (cuckoo) SILENTLY — the metric makes mis-sizing visible in
+    // every snapshot, and the warning names the fix. O(nShards) rows; at
+    // the 4096-shard design point this is noise next to the table writes.
+    def sketchFill: (Long, Long) = {
+      val expected = math.max(1L, cfg.bloomExpectedPerShard)
+      val row = bloomState.select($"shard", $"inserted".cast("long"))
+        .unionByName(newSeenUrls.select(
+          SeenSet.shardCol($"url", cfg.bloomShards).as("shard"),
+          lit(1L).as("inserted")))
+        .groupBy($"shard").agg(sum($"inserted").as("ins"))
+        .agg(coalesce(max($"ins"), lit(0L)).as("mx"),
+          coalesce(sum(when($"ins" > expected, 1L).otherwise(0L)), lit(0L))
+            .as("sat"))
+        .collect()(0)
+      val (mx, sat) = (row.getLong(0), row.getLong(1))
+      if (sat > 0)
+        System.err.println(s"[crawl] WARN round $round: $sat seen-sketch " +
+          s"shard(s) past expected capacity $expected (max fill " +
+          s"${100L * mx / expected}%) — raise bloomExpectedPerShard or " +
+          "bloomShards before FPP degrades")
+      (100L * mx / expected, sat)
+    }
+    def roundMetrics: Map[String, Long] = {
+      val (fillPct, saturated) = sketchFill
+      bloomSizing(cfg) ++ Map(
+      "sketch_fill_max_pct" -> fillPct,
+      "sketch_saturated_shards" -> saturated,
       "round" -> round.toLong,
       "fetched" -> m(obsFetch, "n"),
       "ok" -> m(obsFetch, "ok"),
@@ -560,7 +603,7 @@ object CrawlLoop {
       "enqueued" -> m(obsNew, "n"),
       "datasets_quarantined" -> m(obsParsed, "dsQ"),
       "files_quarantined" -> m(obsParsed, "fQ"),
-    )
+    )}
     def release(): Unit = {
       releaseDrain()
       Seq[Dataset[_]](fetched, parsed, newLinks)

@@ -128,7 +128,13 @@ object SeenSet {
     buildShardsWith(urls, nShards, BloomSeen(expectedPerShard, fpp))
 
   /** Sketch-generic form of [[buildShards]]; the `bloom` column name is the
-    * historical table schema and holds whichever sketch's bytes. */
+    * historical table schema and holds whichever sketch's bytes. The
+    * `inserted` count rides every state row (summed by the fold, decremented
+    * by cuckoo deletes) so cumulative per-shard fill is an O(nShards)
+    * column-pruned aggregate — never a rescan of the sketch bytes or the
+    * exact table. Mis-sized shards degrade FPP silently otherwise; the
+    * crawl loop turns this into `sketch_fill_max_pct` /
+    * `sketch_saturated_shards` round metrics and a saturation warning. */
   def buildShardsWith(urls: DataFrame, nShards: Int,
                       sk: SeenSketch): DataFrame = {
     val spark = urls.sparkSession
@@ -136,8 +142,12 @@ object SeenSet {
     urls.select(shardCol(col("url"), nShards).as("shard"), col("url"))
       .as[(Int, String)]
       .groupByKey(_._1)
-      .mapGroups { (shard, it) => (shard, sk.buildShard(it.map(_._2))) }
-      .toDF("shard", "bloom")
+      .mapGroups { (shard, it) =>
+        var n = 0L
+        val bytes = sk.buildShard(it.map { t => n += 1; t._2 })
+        (shard, bytes, n)
+      }
+      .toDF("shard", "bloom", "inserted")
   }
 
   /** Fold a (shard, bloom) state with multiple rows per shard (delta
@@ -151,17 +161,22 @@ object SeenSet {
   def foldShardsWith(state: DataFrame, sk: SeenSketch): DataFrame = {
     val spark = state.sparkSession
     import spark.implicits._
-    state.select("shard", "bloom")
-      .as[(Int, Array[Byte])]
+    state.select(col("shard").cast("int"), col("bloom"),
+        col("inserted").cast("long"))
+      .as[(Int, Array[Byte], Long)]
       .groupByKey(_._1)
-      .mapGroups { (shard, it) => (shard, sk.mergeShardBytes(it.map(_._2))) }
-      .toDF("shard", "bloom")
+      .mapGroups { (shard, it) =>
+        var n = 0L
+        val bytes = sk.mergeShardBytes(it.map { r => n += r._3; r._2 })
+        (shard, bytes, n)
+      }
+      .toDF("shard", "bloom", "inserted")
   }
 
   /** Merge an existing shard table with a delta batch's shards. */
   def mergeShards(old: DataFrame, delta: DataFrame): DataFrame =
-    foldShards(old.select("shard", "bloom")
-      .unionByName(delta.select("shard", "bloom")))
+    foldShards(old.select("shard", "bloom", "inserted")
+      .unionByName(delta.select("shard", "bloom", "inserted")))
 
   /** Split `candidates` (must have a `url` column) into definitely-new rows
     * (Bloom miss) and rows needing exact confirmation, then anti-join only
@@ -236,14 +251,18 @@ object SeenSet {
     val newState = sk match {
       case c: CuckooSeen =>
         val byShard = present.as[(Int, String)].groupByKey(_._1)
-        val stateByShard = folded.select(col("shard").cast("int"), col("bloom"))
-          .as[(Int, Array[Byte])].groupByKey(_._1)
+        val stateByShard = folded.select(col("shard").cast("int"), col("bloom"),
+            col("inserted").cast("long"))
+          .as[(Int, Array[Byte], Long)].groupByKey(_._1)
         stateByShard.cogroup(byShard) { (shard, parts, dels) =>
-          parts.map { case (_, bytes) =>
-            if (dels.hasNext) (shard, c.deleteShard(bytes, dels.map(_._2)))
-            else (shard, bytes)
+          parts.map { case (_, bytes, ins) =>
+            if (dels.hasNext) {
+              var d = 0L
+              val nb = c.deleteShard(bytes, dels.map { x => d += 1; x._2 })
+              (shard, nb, ins - d)
+            } else (shard, bytes, ins)
           }
-        }.toDF("shard", "bloom")
+        }.toDF("shard", "bloom", "inserted")
       case _ =>
         val touched = present.select("shard").distinct()
         val kept = folded.join(touched.withColumnRenamed("shard", "__t"),

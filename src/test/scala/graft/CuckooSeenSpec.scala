@@ -197,8 +197,8 @@ class CuckooSeenSpec extends AnyFunSuite {
     val dup = (once ++ once ++ once).toDF("url")
     val (_, stateDup) = SeenSet.forgetUrls(seen, state, dup, nShards, sk)
     val (_, stateOnce) = SeenSet.forgetUrls(seen, state, once.toDF("url"), nShards, sk)
-    val a = stateDup.as[(Int, Array[Byte])].collect().toMap
-    val b = stateOnce.as[(Int, Array[Byte])].collect().toMap
+    val a = stateDup.select("shard", "bloom").as[(Int, Array[Byte])].collect().toMap
+    val b = stateOnce.select("shard", "bloom").as[(Int, Array[Byte])].collect().toMap
     assert(a.keySet === b.keySet)
     a.keys.foreach(s => assert(java.util.Arrays.equals(a(s), b(s)),
       s"shard $s bytes differ between dup and distinct forget input"))

@@ -137,7 +137,7 @@ class GlacierSpec extends AnyFunSuite {
     val bloom = g.read(spark, "bloom").get
     assert(bloom.count() <= 4) // one row per shard
     // folded filters still contain every url
-    val all = bloom.as[(Int, Array[Byte])].collect()
+    val all = bloom.select("shard", "bloom").as[(Int, Array[Byte])].collect()
       .map(t => org.apache.spark.util.sketch.BloomFilter.readFrom(t._2))
       .reduce { (a, b) => a.mergeInPlace(b); a }
     (1 to 4).foreach(i => (1 to 20).foreach(k =>

@@ -70,12 +70,46 @@ class SeenSetSpec extends AnyFunSuite {
     val b = SeenSet.buildShards((0 until 100).map(i => s"b$i").toDF("url"),
       nShards, 500, 0.01)
     val merged = SeenSet.mergeShards(a, b)
-      .as[(Int, Array[Byte])].collect().toMap
+      .select("shard", "bloom").as[(Int, Array[Byte])].collect().toMap
     val f = merged.values.map(BloomFilter.readFrom)
       .reduce { (x, y) => x.mergeInPlace(y); x }
     (0 until 100).foreach { i =>
       assert(f.mightContainString(s"a$i"))
       assert(f.mightContainString(s"b$i"))
     }
+  }
+
+  test("inserted counts ride the state: build totals, fold sums per shard") {
+    val urls = (0 until 500).map(i => s"u://$i").toDF("url")
+    val built = SeenSet.buildShards(urls, nShards, 1000, 0.01)
+    val counts = built.select("shard", "inserted")
+      .as[(Int, Long)].collect().toMap
+    assert(counts.values.sum === 500L)
+    assert(counts.values.forall(_ > 0)) // xxhash spreads across 4 shards
+
+    // two deltas folded: per-shard counts are the sums of the delta counts
+    val d2 = SeenSet.buildShards(
+      (500 until 700).map(i => s"u://$i").toDF("url"), nShards, 1000, 0.01)
+    val folded = SeenSet.foldShards(built.unionByName(d2))
+      .select("shard", "inserted").as[(Int, Long)].collect().toMap
+    assert(folded.values.sum === 700L)
+    val c2 = d2.select("shard", "inserted").as[(Int, Long)].collect().toMap
+    folded.foreach { case (s, n) =>
+      assert(n === counts.getOrElse(s, 0L) + c2.getOrElse(s, 0L))
+    }
+  }
+
+  test("forgetUrls (cuckoo) decrements the forgotten shard's inserted count") {
+    val sk = SeenSet.CuckooSeen(1 << 10)
+    val seen = (0 until 300).map(i => s"u://$i").toDF("url")
+    val state = SeenSet.buildShardsWith(seen, nShards, sk)
+    val before = state.select("shard", "inserted")
+      .as[(Int, Long)].collect().toMap
+    val forget = Seq("u://7", "u://8", "u://absent").toDF("url")
+    val (_, newState) = SeenSet.forgetUrls(seen, state, forget, nShards, sk)
+    val after = newState.select("shard", "inserted")
+      .as[(Int, Long)].collect().toMap
+    assert(before.values.sum - after.values.sum === 2L) // absent url ignored
+    assert(after.values.forall(_ >= 0L))
   }
 }
