@@ -51,12 +51,28 @@ object Politeness {
       host -> math.max(1, math.min(byRate, byHour))
     }
 
+  /** One BSP round models one simulated minute (the `roundMinutes = 1`
+    * point of [[budgets]] — what the crawl bench and parity configs use).
+    */
+  val RoundSeconds: Long = 60L
+
   /** Simulated-clock timestamp of the k-th fetch a host performs within a
     * round that starts at `roundStartSeconds` — evenly spaced at the
-    * host's rate (the token-bucket drain schedule). Recorded for lineage;
-    * never read back into control flow (determinism).
+    * host's rate (the token-bucket drain schedule). Recorded for lineage
+    * (`sched_sec` in crawl_log, identically by engine and oracle — the
+    * parity suite asserts equality); never read back into control flow
+    * (determinism).
     */
   def scheduledSecond(policy: HostPolicy, roundStartSeconds: Long,
                       k: Int): Double =
     roundStartSeconds + k * (60.0 / policy.ratePerMinute)
+
+  /** Per-host seconds-per-fetch lookup for the engine's column-algebra
+    * twin of [[scheduledSecond]]; unknown hosts pace at 1 fetch/s. */
+  def secondsPerFetch(policies: Map[String, HostPolicy]): Map[String, Double] =
+    policies.map { case (h, p) => h -> (60.0 / p.ratePerMinute) }
+      .withDefaultValue(1.0)
+
+  def policyOf(host: String): HostPolicy =
+    referencePolicies.getOrElse(host, HostPolicy(60))
 }

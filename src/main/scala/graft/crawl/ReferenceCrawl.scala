@@ -49,7 +49,7 @@ object CrawlSpec {
 
 final case class LogEntry(round: Int, seqInRound: Int, url: String,
                           host: String, depth: Int, status: Int, nLinks: Int,
-                          attempts: Int)
+                          attempts: Int, schedSec: Double)
 
 final case class CrawlResult(
     log: Vector[LogEntry],
@@ -140,13 +140,21 @@ object ReferenceCrawl {
       var enqueued = 0L; var ok = 0L; var dsQuarantine = 0L; var fileQuarantine = 0L
       var attempts = 0L; var depthGated = 0L
       val roundNew = mutable.HashSet.empty[String]
+      // politeness schedule lineage: the k-th fetch a host performs this
+      // round is stamped at roundStart + k·(60/rate) simulated seconds
+      val hostK = mutable.HashMap.empty[String, Int]
+      val roundStart = (round - 1) * Politeness.RoundSeconds
 
       selected.zipWithIndex.foreach { case (task, i) =>
         val seq = i + 1
         val page = fetchClient.fetch(task.url)
         attempts += page.attempts
+        val k = hostK.getOrElse(task.host, 0)
+        hostK(task.host) = k + 1
         log += LogEntry(round, seq, task.url, task.host, task.depth,
-          page.status, page.links.size, page.attempts)
+          page.status, page.links.size, page.attempts,
+          Politeness.scheduledSecond(Politeness.policyOf(task.host),
+            roundStart, k))
         if (page.status == 200) {
           ok += 1
           docs(page.doc.doc_id) = page.doc.spans

@@ -152,11 +152,37 @@ class CrawlParitySpec extends AnyFunSuite {
       .map(r => LogEntry(r.getAs[Int]("round"), r.getAs[Int]("seqInRound"),
         r.getAs[String]("url"), r.getAs[String]("host"),
         r.getAs[Int]("depth"), r.getAs[Int]("status"), r.getAs[Int]("nLinks"),
-        r.getAs[Int]("attempts")))
+        r.getAs[Int]("attempts"), r.getAs[Double]("sched_sec")))
       .toVector
     assert(engineLog.size === oracle.log.size)
     engineLog.zip(oracle.log).zipWithIndex.foreach { case ((e, o), i) =>
       assert(e === o, s"log mismatch at position $i")
+    }
+  }
+
+  test("recorded politeness schedule respects rate and hourly caps") {
+    import graft.crawl.Politeness
+    val rows = g.read(spark, "crawl_log").get
+      .select("host", "sched_sec").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (host, hs) =>
+      val policy = Politeness.policyOf(host)
+      val times = hs.map(_._2).sorted
+      // consecutive fetches of one host are spaced at least 60/rate apart
+      times.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b - a >= 60.0 / policy.ratePerMinute - 1e-9,
+            s"$host fetches $a and $b violate the ${policy.ratePerMinute}/min rate")
+        case _ =>
+      }
+      // no simulated hour holds more fetches than the host's hourly cap
+      policy.hourlyCap.foreach { cap =>
+        times.foreach { t0 =>
+          assert(times.count(t => t >= t0 && t < t0 + 3600.0) <= cap,
+            s"$host exceeds $cap fetches in the hour starting at $t0")
+        }
+      }
     }
   }
 
@@ -210,6 +236,25 @@ class CrawlParitySpec extends AnyFunSuite {
           assert(e.getOrElse(k, -1L) === v, s"metric $k @ round ${o("round")}")
       }
     }
+  }
+
+  test("sketch fill metrics: saturation surfaces, right-sized run is clean") {
+    // the engine run is sized generously (2^12/shard): every round must
+    // report fill, none may be saturated
+    val rounds = g.history.filter(_.note.startsWith("round"))
+    assert(rounds.nonEmpty)
+    assert(rounds.forall(_.metrics.contains("sketch_fill_max_pct")))
+    assert(rounds.forall(_.metrics("sketch_saturated_shards") === 0L))
+
+    // a deliberately mis-sized run (4 urls/shard) must cross 100% fill and
+    // count saturated shards — the silent-FPP-degradation watch
+    val root = Files.createTempDirectory("crawl-sat").toString
+    CrawlLoop.run(spark, CrawlConfig(repo, budget, maxRounds = 3, root,
+      salts = 4, bloomShards = 8, bloomExpectedPerShard = 4))
+    val sat = new graft.tables.Glacier(root).history
+      .filter(_.note.startsWith("round")).maxBy(_.snapshotId).metrics
+    assert(sat("sketch_fill_max_pct") > 100L, sat)
+    assert(sat("sketch_saturated_shards") > 0L, sat)
   }
 
   test("post-pass: exclusion filter + false-positive removal match the oracle") {

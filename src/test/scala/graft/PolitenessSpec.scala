@@ -32,4 +32,32 @@ class PolitenessSpec extends AnyFunSuite {
     assert(Politeness.scheduledSecond(p, 0, 10) === 10.0)
     assert(Politeness.scheduledSecond(p, 300, 5) === 305.0)
   }
+
+  test("zenodo-shaped sequence: 5000/h cap holds across 60 one-minute rounds") {
+    val p = Politeness.referencePolicies("zenodo")
+    val perRound = Politeness.budgets(Politeness.referencePolicies, 1)("zenodo")
+    // a full simulated hour of rounds, every round draining its whole budget
+    val times = for {
+      r <- 0 until 60
+      k <- 0 until perRound
+    } yield Politeness.scheduledSecond(p, r * Politeness.RoundSeconds, k)
+
+    // every simulated-hour window stays under the cap
+    times.foreach { t0 =>
+      val inHour = times.count(t => t >= t0 && t < t0 + 3600.0)
+      assert(inHour <= p.hourlyCap.get,
+        s"$inHour fetches in the hour starting at $t0")
+    }
+    // and it is the budgets() proration that enforces it — the burst rate
+    // alone would blow the cap (100/min × 60 min = 6000 > 5000)
+    assert(p.ratePerMinute * 60 > p.hourlyCap.get)
+    assert(perRound * 60 <= p.hourlyCap.get)
+
+    // within a round, fetches are spaced at the rate (never bunched)
+    val round0 = times.take(perRound)
+    round0.sliding(2).foreach {
+      case Seq(a, b) => assert(b - a >= 60.0 / p.ratePerMinute - 1e-9)
+      case _ =>
+    }
+  }
 }
