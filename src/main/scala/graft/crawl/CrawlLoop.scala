@@ -1,6 +1,6 @@
 package graft.crawl
 
-import org.apache.spark.sql.{DataFrame, Dataset, Observation, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Observation, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -368,8 +368,8 @@ object CrawlLoop {
       .mapPartitions { it =>
         it.map { t =>
           val p = fetchClient.fetch(t.url)
-          RoundFetch(t.url, t.host, t.depth, t.seqInRound, p.status,
-            p.attempts, p.doc, p.links)
+          RoundFetch(t.url, t.host, t.depth, t.seqInRound, t.kInHost,
+            p.status, p.attempts, p.doc, p.links)
         }
       }
       .observe(obsFetch,
@@ -382,20 +382,20 @@ object CrawlLoop {
 
     // ---- crawl-order log (the parity artifact) ----------------------------
     // sched_sec: the politeness schedule as lineage — the k-th fetch a host
-    // performs this round (k = per-host rank in fetch order) is stamped at
+    // performs this round (kInHost, minted in the DRAIN from the same
+    // range-partitioned counts pass as seqInRound: no host-partitioned
+    // window, no extra shuffle — partitionBy(host) with a handful of hosts
+    // would sort a whole host's round in ONE task) is stamped at
     // roundStart + k·(60/rate) simulated seconds, the exact arithmetic of
     // Politeness.scheduledSecond (the oracle's path; parity asserts
-    // bit-equality). The window runs over the politeness-bounded selected
-    // set (≤ Σ budget rows), not the frontier — bounded at any scale.
+    // bit-equality).
     val secPerFetch = typedLit(
       Politeness.secondsPerFetch(Politeness.referencePolicies))
-    val kHost = row_number().over(
-      Window.partitionBy($"host").orderBy($"seqInRound".asc)) - 1
     val log = fetched.select(lit(round).as("round"), $"seqInRound",
       $"url", $"host", $"depth", $"status", size($"links").as("nLinks"),
       $"attempts",
       (lit(((round - 1) * Politeness.RoundSeconds).toDouble) +
-        kHost * coalesce(element_at(secPerFetch, $"host"), lit(1.0)))
+        $"kInHost" * coalesce(element_at(secPerFetch, $"host"), lit(1.0)))
         .as("sched_sec"))
 
     // ---- docs: interleaved span documents of fetched pages ----------------
@@ -685,20 +685,65 @@ object CrawlLoop {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pid = shiftrightunsigned(col("mid"), 33).cast("int")
     val localIdx = col("mid").bitwiseAND(lit((1L << 33) - 1))
-    val counts = ordered.groupBy(pid.as("pid"))
+    // ONE tiny collect (parts×hosts rows) feeds BOTH numberings: global
+    // partition offsets for seqInRound, and per-(host, partition) offsets
+    // for the politeness-schedule rank. Range partitions are ordered by
+    // priority, so per-partition cumulative counts compose exactly.
+    val counts = ordered.groupBy(pid.as("pid"), col("host"))
       .agg(count(lit(1)).as("cnt"))
       .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .sortBy(_._1)
-    val offsets: Map[Int, Long] = counts
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .toVector.sortBy(t => (t._1, t._2))
+    val partTotals = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+      .toSeq.sortBy(_._1)
+    val offsets: Map[Int, Long] = partTotals
       .scanLeft((0, 0L)) { case ((_, acc), (p, c)) => (p, acc + c) }
-      .sliding(2).collect { case Array((_, off), (p, _)) => p -> off }
+      .sliding(2).collect { case Seq((_, off), (p, _)) => p -> off }
       .toMap
+    // host's rows in partitions BEFORE pid (keyed "host:pid")
+    val hostOffsets: Map[String, Long] = {
+      val byHost = counts.groupBy(_._2)
+      byHost.flatMap { case (host, rows) =>
+        val sorted = rows.sortBy(_._1)
+        sorted.scanLeft((host, -1, 0L)) { case ((_, _, acc), (p, _, c)) =>
+          (host, p, acc + c)
+        }.sliding(2).collect { case Seq((_, _, off), (_, p, _)) =>
+          s"$host:$p" -> off
+        }
+      }
+    }
+    // per-host index within each sorted partition: a narrow counter pass
+    // over the drain cache — no window, no exchange (the iterator order IS
+    // the priority order after sortWithinPartitions)
+    def withKInHost(df: DataFrame): DataFrame = {
+      val schema = df.schema.add("kLocal", org.apache.spark.sql.types.IntegerType)
+      implicit val enc: Encoder[Row] = Encoders.row(schema)
+      val hostIdx = df.schema.fieldIndex("host")
+      df.mapPartitions { it =>
+        val seen = scala.collection.mutable.HashMap.empty[String, Int]
+        it.map { r =>
+          val h = r.getString(hostIdx)
+          val k = seen.getOrElse(h, 0)
+          seen(h) = k + 1
+          Row.fromSeq(r.toSeq :+ k)
+        }
+      }
+    }
     val withSeq =
-      if (offsets.isEmpty) ordered.withColumn("seqInRound", lit(1)).drop("mid")
-      else ordered.withColumn("seqInRound",
-        (element_at(typedLit(offsets), pid) + localIdx + 1).cast("int"))
-        .drop("mid")
+      if (offsets.isEmpty)
+        ordered.withColumn("seqInRound", lit(1))
+          .withColumn("kInHost", lit(0)).drop("mid")
+      else {
+        val hk = coalesce(
+          element_at(typedLit(hostOffsets),
+            concat(col("host"), lit(":"), pid.cast("string"))),
+          lit(0L))
+        withKInHost(ordered)
+          .withColumn("seqInRound",
+            (element_at(typedLit(offsets), pid) + localIdx + 1).cast("int"))
+          .withColumn("kInHost", (hk + col("kLocal")).cast("int"))
+          .drop("mid", "kLocal")
+      }
     (withSeq, () => { ordered.unpersist(blocking = false); () })
   }
 
@@ -708,10 +753,10 @@ object CrawlLoop {
 
   final case class SelectedTask(url: String, host: String, depth: Int,
       score: Double, round: Int, queryIdx: Int, pageIdx: Int, hitIdx: Int,
-      seqInRound: Int)
+      seqInRound: Int, kInHost: Int)
 
   final case class RoundFetch(url: String, host: String, depth: Int,
-      seqInRound: Int, status: Int, attempts: Int, doc: Doc,
+      seqInRound: Int, kInHost: Int, status: Int, attempts: Int, doc: Doc,
       links: Seq[DiscoveredLink])
 
   /** One validated parse result; kind 0 = dataset row, 1 = file row,

@@ -26,14 +26,19 @@ class FrontierSpec extends AnyFunSuite {
 
     val got = CrawlLoop.drainSelect(tasks.toDF(), budget, salts = 4)
       .orderBy("seqInRound")
-      .as[(String, String, Int, Double, Int, Int, Int, Int, Int)]
+      .as[(String, String, Int, Double, Int, Int, Int, Int, Int, Int)]
       .collect()
-      .map(r => (r._1, r._9)) // (url, seqInRound)
+      .map(r => (r._1, r._9, r._10)) // (url, seqInRound, kInHost)
 
-    val expected = tasks.groupBy(_.host).toSeq.flatMap { case (h, ts) =>
-      ts.sorted(CrawlSpec.taskOrder).take(budget(h))
-    }.sorted(CrawlSpec.taskOrder).zipWithIndex
-      .map { case (t, i) => (t.url, i + 1) }
+    // brute force: per-host top-budget in task order; global order for the
+    // seq; per-host position for the politeness-schedule rank
+    val perHost = tasks.groupBy(_.host).toSeq.flatMap { case (h, ts) =>
+      ts.sorted(CrawlSpec.taskOrder).take(budget(h)).zipWithIndex
+        .map { case (t, k) => t -> k }
+    }
+    val kOf = perHost.map { case (t, k) => t.url -> k }.toMap
+    val expected = perHost.map(_._1).sorted(CrawlSpec.taskOrder).zipWithIndex
+      .map { case (t, i) => (t.url, i + 1, kOf(t.url)) }
 
     assert(got.toSeq === expected)
   }
