@@ -153,9 +153,13 @@ object CrawlLoop {
       case Some(h) => h.read(spark, table)
       case None    => g.read(spark, table)
     }
+    // saturation-watch baseline: ONE column-pruned read here, then the
+    // per-round deltas ride the bloom write's observation
+    val fill = new SketchFillState(
+      g.read(spark, "bloom").map(stateFillCounts).getOrElse(Map.empty))
     while (pending > 0 && round <= cfg.maxRounds) {
       val t0 = System.nanoTime()
-      val r = runRound(spark, g, cfg, round, pending, readTable)
+      val r = runRound(spark, g, cfg, round, pending, readTable, fill)
       prev = r.handle
       pending = r.pendingAfter
       if (sys.env.contains("SPARK_GRAFT_CRAWL_VERBOSE")) {
@@ -333,12 +337,47 @@ object CrawlLoop {
                                pendingAfter: Long, fetched: Long,
                                enqueued: Long)
 
+  /** Driver-side cumulative per-shard sketch fill. Seeded ONCE from the
+    * state table at bootstrap/resume (a single column-pruned job); each
+    * round's per-shard delta counts arrive via the bloom write's own
+    * Observation — the saturation watch costs ZERO per-round Spark jobs
+    * and never rescans the append-only state history. Synchronized:
+    * under pipelined commits the metrics thunk runs on the background
+    * commit thread (FIFO-ordered, so round N's update happens-before
+    * round N+1's read). nShards longs of driver memory — 4096 at the
+    * design point. */
+  final class SketchFillState(init: Map[Int, Long]) {
+    private val counts = scala.collection.mutable.Map.empty[Int, Long] ++ init
+    /** fold in a round's per-shard deltas → (max inserted, saturated #) */
+    def update(deltas: Seq[(Int, Long)], expected: Long): (Long, Long) =
+      synchronized {
+        deltas.foreach { case (s, n) => counts(s) = counts.getOrElse(s, 0L) + n }
+        if (counts.isEmpty) (0L, 0L)
+        else (counts.values.max, counts.values.count(_ > expected).toLong)
+      }
+  }
+
+  /** Seed counts from a state table; pre-upgrade roots (no `inserted`
+    * column) start at an unknown baseline of 0 — the watch under-reports
+    * there until shards are rebuilt, and says so. */
+  def stateFillCounts(state: DataFrame): Map[Int, Long] =
+    if (!state.columns.contains("inserted")) {
+      System.err.println("[crawl] NOTE: seen-sketch state predates fill " +
+        "accounting — saturation metrics under-report until shards rebuild")
+      Map.empty
+    } else
+      state.select(col("shard").cast("int"), col("inserted").cast("long"))
+        .groupBy(col("shard")).agg(sum(col("inserted")).as("ins"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
   /** One BSP round: drain → fetch → parse → dedup → snapshot.
     * `readTable` supplies the round's input state — the previous round's
     * pipelined handle (staged barrier tables) or the committed snapshot. */
   def runRound(spark: SparkSession, g: Glacier, cfg: CrawlConfig,
                round: Int, pendingBefore: Long,
-               readTable: String => Option[DataFrame]): RoundResult = {
+               readTable: String => Option[DataFrame],
+               fill: SketchFillState = new SketchFillState(Map.empty))
+      : RoundResult = {
     import spark.implicits._
 
     val frontier = readTable("frontier").get
@@ -395,7 +434,8 @@ object CrawlLoop {
       $"url", $"host", $"depth", $"status", size($"links").as("nLinks"),
       $"attempts",
       (lit(((round - 1) * Politeness.RoundSeconds).toDouble) +
-        $"kInHost" * coalesce(element_at(secPerFetch, $"host"), lit(1.0)))
+        $"kInHost" * coalesce(element_at(secPerFetch, $"host"),
+          lit(Politeness.defaultSecondsPerFetch)))
         .as("sched_sec"))
 
     // ---- docs: interleaved span documents of fetched pages ----------------
@@ -502,9 +542,11 @@ object CrawlLoop {
     val obsBloom = Observation(s"bloom_r$round")
     val deltaBloom = SeenSet.buildShardsWith(newSeenUrls, cfg.bloomShards,
       cfg.sketch)
-      // rows ride the write like every other table — without a thunk the
-      // commit fires a read-back count job for this table every round
-      .observe(obsBloom, count(lit(1)).as("n"))
+      // rows AND per-shard fill deltas ride the write like every other
+      // metric — without the thunks the commit would fire a read-back
+      // count job (rows) and a state-history rescan (fill) every round
+      .observe(obsBloom, count(lit(1)).as("n"),
+        collect_list(struct($"shard", $"inserted")).as("deltas"))
 
     def m(o: Observation, k: String): Long =
       o.get(k).asInstanceOf[Number].longValue()
@@ -560,25 +602,19 @@ object CrawlLoop {
         Some(() => m(obsParsed, "hV")), stage = 2)) else Seq.empty)
     // evaluated at manifest time (background under pipelining — obsParsed
     // fires with the datasets write there)
-    // Sketch saturation watch: cumulative per-shard fill = the prior
-    // state's `inserted` column (column-pruned — the sketch bytes are
-    // never read) + this round's delta counted off the cached newLinks.
-    // Shards past their sized capacity degrade FPP (bloom) or fail
-    // inserts (cuckoo) SILENTLY — the metric makes mis-sizing visible in
-    // every snapshot, and the warning names the fix. O(nShards) rows; at
-    // the 4096-shard design point this is noise next to the table writes.
+    // Sketch saturation watch: this round's per-shard delta counts arrive
+    // on the bloom write's Observation (fired by the synchronous barrier
+    // write, read here at manifest time — zero extra jobs); the cumulative
+    // fold lives on the driver (SketchFillState). Shards past their sized
+    // capacity degrade FPP (bloom) or fail inserts (cuckoo) SILENTLY —
+    // the metric makes mis-sizing visible in every snapshot, and the
+    // warning names the fix.
     def sketchFill: (Long, Long) = {
       val expected = math.max(1L, cfg.bloomExpectedPerShard)
-      val row = bloomState.select($"shard", $"inserted".cast("long"))
-        .unionByName(newSeenUrls.select(
-          SeenSet.shardCol($"url", cfg.bloomShards).as("shard"),
-          lit(1L).as("inserted")))
-        .groupBy($"shard").agg(sum($"inserted").as("ins"))
-        .agg(coalesce(max($"ins"), lit(0L)).as("mx"),
-          coalesce(sum(when($"ins" > expected, 1L).otherwise(0L)), lit(0L))
-            .as("sat"))
-        .collect()(0)
-      val (mx, sat) = (row.getLong(0), row.getLong(1))
+      val deltas = obsBloom.get("deltas")
+        .asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]]
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq
+      val (mx, sat) = fill.update(deltas, expected)
       if (sat > 0)
         System.err.println(s"[crawl] WARN round $round: $sat seen-sketch " +
           s"shard(s) past expected capacity $expected (max fill " +

@@ -67,12 +67,21 @@ object Politeness {
                       k: Int): Double =
     roundStartSeconds + k * (60.0 / policy.ratePerMinute)
 
+  /** The ONE unknown-host pacing policy (1 fetch/s). Engine and oracle
+    * both derive their fallback from it: the oracle through [[policyOf]],
+    * the engine through [[defaultSecondsPerFetch]] in its `coalesce` —
+    * a literal 1.0 in either place could silently drift and break the
+    * parity-pinned bit-equality of `sched_sec`. */
+  val DefaultPolicy: HostPolicy = HostPolicy(60)
+  def defaultSecondsPerFetch: Double = 60.0 / DefaultPolicy.ratePerMinute
+
   /** Per-host seconds-per-fetch lookup for the engine's column-algebra
-    * twin of [[scheduledSecond]]; unknown hosts pace at 1 fetch/s. */
+    * twin of [[scheduledSecond]] (a `typedLit` map literal — map defaults
+    * do not survive into Catalyst; pair with
+    * `coalesce(..., lit(defaultSecondsPerFetch))`). */
   def secondsPerFetch(policies: Map[String, HostPolicy]): Map[String, Double] =
     policies.map { case (h, p) => h -> (60.0 / p.ratePerMinute) }
-      .withDefaultValue(1.0)
 
   def policyOf(host: String): HostPolicy =
-    referencePolicies.getOrElse(host, HostPolicy(60))
+    referencePolicies.getOrElse(host, DefaultPolicy)
 }

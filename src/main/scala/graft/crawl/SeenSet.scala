@@ -157,12 +157,19 @@ object SeenSet {
   def foldShards(state: DataFrame): DataFrame =
     foldShardsWith(state, BloomSeen(0L, 0.03)) // merge path ignores sizing
 
+  /** `inserted` for states written before the fill-accounting column
+    * existed: 0 (baseline unknown). Every reader goes through this so a
+    * resume on a pre-upgrade Glacier root keeps working; its fill metrics
+    * under-report until the shards are rebuilt. */
+  private def insertedOr0(df: DataFrame) =
+    if (df.columns.contains("inserted")) col("inserted").cast("long")
+    else lit(0L).as("inserted")
+
   /** Sketch-generic form of [[foldShards]]. */
   def foldShardsWith(state: DataFrame, sk: SeenSketch): DataFrame = {
     val spark = state.sparkSession
     import spark.implicits._
-    state.select(col("shard").cast("int"), col("bloom"),
-        col("inserted").cast("long"))
+    state.select(col("shard").cast("int"), col("bloom"), insertedOr0(state))
       .as[(Int, Array[Byte], Long)]
       .groupByKey(_._1)
       .mapGroups { (shard, it) =>
@@ -175,8 +182,9 @@ object SeenSet {
 
   /** Merge an existing shard table with a delta batch's shards. */
   def mergeShards(old: DataFrame, delta: DataFrame): DataFrame =
-    foldShards(old.select("shard", "bloom", "inserted")
-      .unionByName(delta.select("shard", "bloom", "inserted")))
+    foldShards(old.select(col("shard"), col("bloom"), insertedOr0(old))
+      .unionByName(delta.select(col("shard"), col("bloom"),
+        insertedOr0(delta))))
 
   /** Split `candidates` (must have a `url` column) into definitely-new rows
     * (Bloom miss) and rows needing exact confirmation, then anti-join only

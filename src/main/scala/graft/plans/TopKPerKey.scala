@@ -120,6 +120,7 @@ object TopKHeaps {
       arr(i) = top
     }
 
+    def size: Int = n
     def drain(): Iterator[InternalRow] = arr.iterator.take(n)
   }
 
@@ -201,18 +202,40 @@ object TopKHeaps {
     import java.io._
     private val files = new Array[File](fanout)
     private val outs = new Array[DataOutputStream](fanout)
+    private val ins = scala.collection.mutable.ArrayBuffer.empty[DataInputStream]
     private val writeBuf = new Array[Byte](4096)
     var rows = 0L
 
-    // best-effort cleanup if the task dies mid-spill
+    // Spill under Spark's configured scratch space, not java.io.tmpdir —
+    // on a cluster spark.local.dir points at the executors' large scratch
+    // disks while /tmp is often a small root tmpfs. First dir of the
+    // (possibly comma-separated) list; tmpdir only as the final fallback.
+    private val spillDir: File = {
+      val conf = Option(org.apache.spark.SparkEnv.get).map(_.conf)
+      val base = conf.flatMap(c => c.getOption("spark.local.dir"))
+        .map(_.split(',').head.trim)
+        .getOrElse(System.getProperty("java.io.tmpdir"))
+      val d = new File(base)
+      if (d.isDirectory && d.canWrite) d
+      else new File(System.getProperty("java.io.tmpdir"))
+    }
+
+    // best-effort cleanup if the task dies (or a consumer abandons the
+    // result iterator mid-drain): close every stream FIRST — on POSIX an
+    // unlinked file's blocks are only reclaimed once its descriptors
+    // close — then unlink
     Option(org.apache.spark.TaskContext.get()).foreach(
-      _.addTaskCompletionListener[Unit](_ => files.foreach(f => if (f != null) f.delete())))
+      _.addTaskCompletionListener[Unit] { _ =>
+        outs.foreach(o => if (o != null) try o.close() catch { case _: IOException => })
+        ins.foreach(i => try i.close() catch { case _: IOException => })
+        files.foreach(f => if (f != null) f.delete())
+      })
 
     def write(keyHash: Int, row: UnsafeRow): Unit = {
       val mixed = scala.util.hashing.byteswap32(keyHash ^ (depth * 0x9e3779b9))
       val b = (mixed >>> 1) % fanout
       if (outs(b) == null) {
-        files(b) = File.createTempFile(s"graft-topk-d$depth-b$b-", ".spill")
+        files(b) = File.createTempFile(s"graft-topk-d$depth-b$b-", ".spill", spillDir)
         outs(b) = new DataOutputStream(
           new BufferedOutputStream(new FileOutputStream(files(b)), 1 << 16))
       }
@@ -228,6 +251,7 @@ object TopKHeaps {
       else new Iterator[InternalRow] {
         private val in = new DataInputStream(
           new BufferedInputStream(new FileInputStream(f), 1 << 16))
+        ins += in
         private val row = new UnsafeRow(numFields)
         private var rowSize = readSize()
         private def readSize(): Int =
@@ -248,13 +272,20 @@ object TopKHeaps {
   /** Exact per-key top-k with bounded memory — the final pass. Unlike
     * [[topK]] it may not emit unpruned overflow rows (it must be exact),
     * so past `budgetRows` retained rows, rows of NEW keys hash-spill to
-    * disk ([[Spiller]]) and each bucket recurses with a reseeded hash.
-    * A key is wholly in-memory or wholly in one bucket (the heap lookup
-    * precedes the spill decision on every row), so per-bucket recursion
-    * is exact, and each level admits ≥1 key into memory before spilling
-    * (budgetRows ≥ 1), so recursion strictly shrinks and terminates.
-    * Depth is capped defensively at 64; past it the pass completes
-    * in-memory (still exact — the budget, not correctness, is abandoned).
+    * disk ([[Spiller]]) and each bucket recurses with a reseeded hash;
+    * and an already-admitted key whose heap GROWS past the budget is
+    * DEMOTED — its kept rows (the key's only surviving top-k candidates;
+    * pruned rows are provably out) move to its spill bucket and the key
+    * leaves the map — so retained rows stay ≤ budget + k of the largest
+    * single append run, not budget × k. Invariants: admission closes
+    * permanently once a spiller exists, so a key is wholly in-memory or
+    * wholly in one bucket and per-bucket recursion is exact; each level
+    * admits ≥1 key (budgetRows ≥ 1) and demotion requires ≥2 in-memory
+    * keys, so a key alone in its bucket stays in memory (the documented
+    * single-key k envelope — the one shape that cannot spill) and
+    * recursion strictly shrinks. Depth is capped defensively at 64; past
+    * it the pass completes in-memory (still exact — the budget, not
+    * correctness, is abandoned).
     *
     * Consumes the input eagerly: a final pass can emit nothing until the
     * partition is exhausted anyway, so laziness buys nothing here.
@@ -286,8 +317,19 @@ object TopKHeaps {
       if (k > 0) {
         val key = keyProj(row)
         val h = heaps.get(key)
-        if (h != null) retained += h.offer(row)
-        else if (retained < budget || depth >= 64) {
+        if (h != null) {
+          retained += h.offer(row)
+          // growth past the budget demotes the whole key to its bucket
+          // (exact: the heap's kept rows are the key's only candidates)
+          if (retained > budget && heaps.size > 1 && depth < 64) {
+            if (spiller == null) spiller = new Spiller(input.size, fanout, depth)
+            heaps.remove(key)
+            retained -= h.size
+            val hash = key.hashCode
+            val dr = h.drain()
+            while (dr.hasNext) spiller.write(hash, toUnsafe(dr.next()))
+          }
+        } else if (depth >= 64 || (spiller == null && retained < budget)) {
           val nh = new KeyHeap(k, ord)
           heaps.put(key.copy(), nh)
           retained += nh.offer(row)

@@ -231,10 +231,11 @@ final class Glacier(val root: String) {
     if (ws.isEmpty) return
     val verbose = sys.env.contains("SPARK_GRAFT_COMMIT_VERBOSE")
     // caller-requested within-stage concurrency (for writes KNOWN to share
-    // no uncached chain — e.g. the post-pass's two independent rewrites);
-    // the env var stays as the cluster-deploy override
-    val par = math.max(callerPar,
-      sys.env.getOrElse("SPARK_GRAFT_COMMIT_PAR", "1").toInt)
+    // no uncached chain — e.g. the post-pass's two independent rewrites).
+    // An explicit SPARK_GRAFT_COMMIT_PAR always wins, in BOTH directions —
+    // a memory-tight deployment must be able to force =1 serial writes.
+    val par = sys.env.get("SPARK_GRAFT_COMMIT_PAR").map(_.toInt)
+      .getOrElse(callerPar)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(par, ws.size)))
     try {

@@ -99,6 +99,32 @@ class SeenSetSpec extends AnyFunSuite {
     }
   }
 
+  test("pre-upgrade state (no inserted column) folds and forgets without error") {
+    // a Glacier root written before fill accounting: 2-column state rows
+    val legacy = SeenSet.buildShards(
+      (0 until 200).map(i => s"u://$i").toDF("url"), nShards, 500, 0.01)
+      .select("shard", "bloom")
+    val folded = SeenSet.foldShards(legacy)
+    assert(folded.columns.toSeq === Seq("shard", "bloom", "inserted"))
+    // baseline unknown → 0, never a crash
+    assert(folded.select("inserted").as[Long].collect().forall(_ === 0L))
+
+    // mixed-era merge: legacy rows + new counted rows sum the known part
+    val fresh = SeenSet.buildShards(
+      (200 until 300).map(i => s"u://$i").toDF("url"), nShards, 500, 0.01)
+    val merged = SeenSet.mergeShards(legacy, fresh)
+    assert(merged.select("inserted").as[Long].collect().sum === 100L)
+
+    // forget on a legacy bloom state rebuilds touched shards (and the
+    // rebuild recomputes real counts for them)
+    val seen = (0 until 200).map(i => s"u://$i").toDF("url")
+    val (newSeen, newState) = SeenSet.forgetUrls(
+      seen, legacy, Seq("u://5").toDF("url"), nShards,
+      SeenSet.BloomSeen(500, 0.01))
+    assert(newSeen.count() === 199L)
+    assert(newState.columns.contains("inserted"))
+  }
+
   test("forgetUrls (cuckoo) decrements the forgotten shard's inserted count") {
     val sk = SeenSet.CuckooSeen(1 << 10)
     val seen = (0 until 300).map(i => s"u://$i").toDF("url")

@@ -177,7 +177,7 @@ class TopKPerKeySpec extends AnyFunSuite {
 
     // k larger than the whole budget for a single key: stays in memory,
     // exact, no infinite recursion (single-key k is the documented
-    // non-spilling envelope).
+    // non-spilling envelope; demotion requires >= 2 in-memory keys).
     var sp2 = 0L
     val one = TopKHeaps.topKExact(
       (0 until 100).iterator.map(i => InternalRow(7, i): InternalRow),
@@ -186,6 +186,36 @@ class TopKPerKeySpec extends AnyFunSuite {
       .map(_.getInt(1)).toVector
     assert(one.sorted === (0 until 50).toVector)
     assert(sp2 === 0L)
+  }
+
+  test("topKExact demotion: admitted keys growing past the budget spill") {
+    // Without demotion this shape retains keys×k = 40×50 = 2000 rows
+    // against a budget of 30: all 40 keys arrive (one row each) before
+    // any key's second row, so admission alone never spills. Demotion
+    // must move growing keys to disk and the result must stay exact.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Descending, Literal, SortOrder}
+    import org.apache.spark.sql.types.IntegerType
+    import graft.plans.TopKHeaps
+
+    val k = AttributeReference("k", IntegerType)()
+    val v = AttributeReference("v", IntegerType)()
+    val input = Seq(k, v)
+    val nKeys = 40; val perKey = 120; val keep = 50
+    // round-robin: key i gets rows i, i+40, i+80, ... — breadth-first
+    def rows = (0 until nKeys * perKey).iterator
+      .map(i => InternalRow(i % nKeys, i): InternalRow)
+    var spilled = 0L
+    val got = TopKHeaps.topKExact(
+      rows, Seq(k), Seq(SortOrder(v, Descending)), Literal(keep), input,
+      budgetRows = 30, fanout = 8, onSpill = spilled += _)
+      .map(r => (r.getInt(0), r.getInt(1))).toVector
+    assert(spilled > 0, "growth past the budget must demote keys to disk")
+    val expect = (0 until nKeys * perKey).map(i => (i % nKeys, i))
+      .groupBy(_._1).values.flatMap(_.sortBy(-_._2).take(keep))
+      .toVector.sorted
+    assert(got.sorted === expect)
+    assert(got.size === nKeys * keep)
   }
 
   test("final-pass spill e2e: exact under a tiny retained-row budget") {
