@@ -366,7 +366,9 @@ object CrawlLoop {
         "accounting — saturation metrics under-report until shards rebuild")
       Map.empty
     } else
-      state.select(col("shard").cast("int"), col("inserted").cast("long"))
+      // coalesce: mixed-era tables read pre-column part-files as null
+      state.select(col("shard").cast("int"),
+          coalesce(col("inserted").cast("long"), lit(0L)).as("inserted"))
         .groupBy(col("shard")).agg(sum(col("inserted")).as("ins"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 

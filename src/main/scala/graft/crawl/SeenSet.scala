@@ -160,9 +160,12 @@ object SeenSet {
   /** `inserted` for states written before the fill-accounting column
     * existed: 0 (baseline unknown). Every reader goes through this so a
     * resume on a pre-upgrade Glacier root keeps working; its fill metrics
-    * under-report until the shards are rebuilt. */
+    * under-report until the shards are rebuilt. The coalesce covers the
+    * MIXED-era shape too — one table whose older part-files predate the
+    * column read it as null when the merged schema carries it. */
   private def insertedOr0(df: DataFrame) =
-    if (df.columns.contains("inserted")) col("inserted").cast("long")
+    if (df.columns.contains("inserted"))
+      coalesce(col("inserted").cast("long"), lit(0L)).as("inserted")
     else lit(0L).as("inserted")
 
   /** Sketch-generic form of [[foldShards]]. */

@@ -115,6 +115,14 @@ class SeenSetSpec extends AnyFunSuite {
     val merged = SeenSet.mergeShards(legacy, fresh)
     assert(merged.select("inserted").as[Long].collect().sum === 100L)
 
+    // mixed-era SINGLE table: one parquet read where pre-column part-files
+    // surface as NULL inserted next to counted rows — fold must not NPE
+    // and must sum the known part
+    val mixed = legacy.withColumn("inserted", lit(null).cast("long"))
+      .unionByName(fresh)
+    val foldedMixed = SeenSet.foldShards(mixed)
+    assert(foldedMixed.select("inserted").as[Long].collect().sum === 100L)
+
     // forget on a legacy bloom state rebuilds touched shards (and the
     // rebuild recomputes real counts for them)
     val seen = (0 until 200).map(i => s"u://$i").toDF("url")
