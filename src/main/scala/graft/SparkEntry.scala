@@ -23,6 +23,7 @@ object SparkEntry {
       operators.AnalyzeOps.entries ++
       sources.NmrLipidsSource.entries ++
       plans.TopKPerKey.entries ++
+      streaming.StreamQueries.entries ++
       operators.CrawlQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -149,10 +149,11 @@ object CrawlLoop {
     // handle's staged view (those writes ARE synchronous barriers); every
     // other consumer (compaction, post-pass, loop exit) joins it first.
     var prev: Option[Glacier.PendingCommit] = None
-    def readTable(table: String): Option[DataFrame] = prev match {
-      case Some(h) => h.read(spark, table)
-      case None    => g.read(spark, table)
-    }
+    // Barrier tables come from the live handle's staged view; anything the
+    // handle doesn't carry (non-barrier tables mid-pipeline, e.g.
+    // crawl_log) falls back to the committed snapshot.
+    def readTable(table: String): Option[DataFrame] =
+      prev.flatMap(_.read(spark, table)).orElse(g.read(spark, table))
     // saturation-watch baseline: ONE column-pruned read here, then the
     // per-round deltas ride the bloom write's observation
     val fill = new SketchFillState(

@@ -21,6 +21,15 @@ trait FetchClient extends Serializable {
   /** Retry bound of the envelope (reference default 3). */
   def maxAttempts: Int
 
+  /** Pre-attempt pacing hook, called before EVERY attempt (1-based) — the
+    * position of the reference's `time.sleep(delay_before_request +
+    * (attempt-1)*10)` (toolbox.py:72-76). Default no-op: in the synthetic /
+    * simulated-time path the politeness layer owns all pacing (SURVEY §4),
+    * so sleeping here would double-count. [[HttpFetchClient]] overrides
+    * this with the reference's linear-backoff schedule.
+    */
+  def beforeAttempt(url: String, attempt: Int): Unit = ()
+
   /** The reference's retry envelope (toolbox.py:29-117): retry any non-200
     * (404 to the bound, 202 "accepted but not ready" until ready) up to
     * [[maxAttempts]] tries, then give up — the caller records the give-up
@@ -28,9 +37,11 @@ trait FetchClient extends Serializable {
     */
   final def fetch(url: String): FetchedPage = {
     var attempt = 1
+    beforeAttempt(url, attempt)
     var page = fetchAttempt(url, attempt)
     while (page.status != 200 && attempt < maxAttempts) {
       attempt += 1
+      beforeAttempt(url, attempt)
       page = fetchAttempt(url, attempt)
     }
     page.copy(attempts = attempt)
@@ -61,8 +72,21 @@ final case class HttpFetchClient(
     connectTimeoutMs: Int = 10000,
     requestTimeoutMs: Int = 30000,
     maxBodyBytes: Int = 8 << 20,
-    userAgent: String = "graft-crawl/0.4 (research; contact in repo)")
+    userAgent: String = "graft-crawl/0.4 (research; contact in repo)",
+    delayBeforeRequestMs: Long = 1000L,
+    retryStepMs: Long = 10000L,
+    sleeper: Long => Unit = HttpFetchClient.wallClockSleeper)
     extends FetchClient {
+
+  /** The reference's pre-attempt pacing (toolbox.py:72-76): attempt 1 waits
+    * `delay_before_request`, attempt 2 waits `delay + 10 s`, attempt 3
+    * `delay + 20 s`, … — a 5xx-ing server is backed off from, not
+    * hammered. */
+  def backoffMs(attempt: Int): Long =
+    delayBeforeRequestMs + (attempt - 1).toLong * retryStepMs
+
+  override def beforeAttempt(url: String, attempt: Int): Unit =
+    sleeper(backoffMs(attempt))
 
   @transient private lazy val client: java.net.http.HttpClient =
     java.net.http.HttpClient.newBuilder()
@@ -113,8 +137,21 @@ final case class HttpFetchClient(
     } catch {
       // transport failure = retryable status 0 (the envelope retries it;
       // give-up surfaces as a null row, same as the reference's except-arm)
-      case _: java.io.IOException | _: InterruptedException =>
+      case _: java.io.IOException =>
         FetchedPage(url, host, 0, 0, empty, Seq.empty)
+      // task cancellation is NOT retryable: restore the flag and propagate
+      // so Spark can kill the task instead of the envelope spinning on it
+      case ie: InterruptedException =>
+        Thread.currentThread().interrupt()
+        throw ie
     }
   }
+}
+
+object HttpFetchClient {
+  /** Real wall-clock pacing. Interruption propagates (Spark task kill). */
+  val wallClockSleeper: Long => Unit = ms => if (ms > 0) Thread.sleep(ms)
+
+  /** No-pacing sleeper for tests / callers that own pacing elsewhere. */
+  val noPacing: Long => Unit = _ => ()
 }

@@ -193,11 +193,51 @@ object AnalyzeOps {
               WHEN lower(ext) IN ('xtc','trr','edr','dcd','vel','prm7','crdbox','inpcrd','mdcrd','nc','ncdf','trj') THEN 'trajectory'
               ELSE 'other' END = 'trajectory')
         SELECT year,
-          coalesce(sum(size) FILTER (WHERE engine = 'gromacs'), 0) AS gromacs,
-          coalesce(sum(size) FILTER (WHERE engine = 'namd'), 0) AS namd,
-          coalesce(sum(size) FILTER (WHERE engine = 'amber'), 0) AS amber,
-          coalesce(sum(size) FILTER (WHERE engine = 'other'), 0) AS other
+          CAST(coalesce(sum(size) FILTER (WHERE engine = 'gromacs'), 0) AS BIGINT) AS gromacs,
+          CAST(coalesce(sum(size) FILTER (WHERE engine = 'namd'), 0) AS BIGINT) AS namd,
+          CAST(coalesce(sum(size) FILTER (WHERE engine = 'amber'), 0) AS BIGINT) AS amber,
+          CAST(coalesce(sum(size) FILTER (WHERE engine = 'other'), 0) AS BIGINT) AS other
         FROM classified GROUP BY year ORDER BY year"""),
+    ),
+
+    // ---- year × category timeline pivot (plot_timeline_category,
+    // analyze.py:312-333): count per (year, cat), rows classified "other"
+    // dropped before the pivot — the last analyze.py prepared frame.
+    // Declared pivot domain → one partial-aggregated shuffle.
+    QueryEntry(
+      "q_ext_category_pivot",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"))
+          .withColumn("year", (pmod(col("doc_id") * 13, lit(15)) + 2010).cast("int"))
+          .withColumn("ext", element_at(typedLit(extPool),
+            (pmod(col("doc_id") * 7, lit(extPool.size)) + 1).cast("int")))
+        d.withColumn("cat", extCategory(col("ext")))
+          .where(col("cat") =!= "other")
+          .groupBy(col("year"))
+          .pivot("cat", Seq("coordinate", "topology", "trajectory"))
+          .count()
+          .na.fill(0L)
+          .orderBy("year")
+      },
+      Some(s"""WITH src AS (
+          SELECT doc_id,
+            CAST((doc_id * 13) % 15 + 2010 AS INT) AS year,
+            ($sqlExtPool)[CAST((doc_id * 7) % 12 AS INT) + 1] AS ext
+          FROM documents),
+        classified AS (
+          SELECT year,
+            CASE
+              WHEN lower(ext) IN ('tpr','gro','psf','crd','coor','namdbin','coord','pdb') THEN 'coordinate'
+              WHEN lower(ext) IN ('mdp','itp','ndx','top','cpt','namd','inp','prm','ntf','xsc','prmtop') THEN 'topology'
+              WHEN lower(ext) IN ('xtc','trr','edr','dcd','vel','prm7','crdbox','inpcrd','mdcrd','nc','ncdf','trj') THEN 'trajectory'
+              ELSE 'other' END AS cat
+          FROM src)
+        SELECT year,
+          count(*) FILTER (WHERE cat = 'coordinate') AS coordinate,
+          count(*) FILTER (WHERE cat = 'topology') AS topology,
+          count(*) FILTER (WHERE cat = 'trajectory') AS trajectory
+        FROM classified WHERE cat <> 'other'
+        GROUP BY year ORDER BY year"""),
     ),
   )
 }

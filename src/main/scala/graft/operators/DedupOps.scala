@@ -446,12 +446,13 @@ object DedupOps {
     * nothing. On a real cluster swap localCheckpoint for a reliable
     * `checkpoint` dir to survive executor loss on long chains.
     */
-  def connectedComponents(edges: DataFrame): (DataFrame, Int) =
+  def connectedComponents(edges: DataFrame,
+      localFinishEdges: Long = LocalFinishEdges): (DataFrame, Int) =
     connectedComponentsCanonical(edges
       .select(greatest(col("src"), col("dst")).as("src"),
               least(col("src"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct())
+      .distinct(), localFinishEdges)
 
   /** Fast path when the caller guarantees edges are already canonical
     * (src > dst) and distinct — e.g. LSH candidate pairs, which arrive as
@@ -469,7 +470,18 @@ object DedupOps {
       case _ => ()
     }
 
-  def connectedComponentsCanonical(edges: DataFrame): (DataFrame, Int) = {
+  /** Edge count at or below which the contraction finishes driver-local.
+    * Rationale (r4 quiet-window probe): each distributed star round costs
+    * ~2 s of fixed job latency regardless of data volume — on a tail of a
+    * few thousand edges that overhead dwarfs the work. ≤10⁵ edges is a
+    * bounded driver transfer (a few MB) and one in-memory union-find pass,
+    * read straight off the count the fixed-point signature already
+    * computes — zero extra jobs to decide. At 100 TB the big early rounds
+    * stay fully distributed; only the logarithmic tail collapses. */
+  val LocalFinishEdges: Long = 100000L
+
+  def connectedComponentsCanonical(edges: DataFrame,
+      localFinishEdges: Long = LocalFinishEdges): (DataFrame, Int) = {
     var e = edges.localCheckpoint(true)
     def sig(d: DataFrame): (Long, java.math.BigDecimal) = {
       val r = d.agg(count(lit(1)).as("n"),
@@ -478,9 +490,17 @@ object DedupOps {
           lit(java.math.BigDecimal.ZERO)).as("h")).collect()(0)
       (r.getLong(0), r.getDecimal(1))
     }
-    var prev = (-1L, java.math.BigDecimal.ZERO)
+    // the input's signature doubles as its count: small inputs never pay
+    // a distributed round at all (and an input that IS already the fixed
+    // point converges after one round instead of two)
+    var prev = sig(e)
     var iters = 0
     var converged = false
+    if (prev._1 <= localFinishEdges) {
+      val out = localFinishStars(e)
+      releaseCheckpoint(e)
+      return (out, iters)
+    }
     while (!converged) {
       iters += 1
       val next = largeStar(smallStar(e)).localCheckpoint(true)
@@ -491,8 +511,54 @@ object DedupOps {
       prev = s
       releaseCheckpoint(e)
       e = next
+      if (!converged && s._1 <= localFinishEdges) {
+        val out = localFinishStars(e)
+        releaseCheckpoint(e)
+        return (out, iters)
+      }
     }
     (e, iters)
+  }
+
+  /** Collapse a SMALL edge set (≤ [[LocalFinishEdges]], enforced by the
+    * callers' count check) to its final star form in one driver pass: a
+    * path-compressed union-find over the collected rows, then (member →
+    * component min) edges for every non-root — exactly the contraction's
+    * fixed point, without its per-iteration job latency. Key-type generic
+    * (ids are Comparable: long doc ids here, strings in tests). */
+  private def localFinishStars(e: DataFrame): DataFrame = {
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.containsKey(r)) r = parent.get(r)
+      var c = x // path compression
+      while (parent.containsKey(c)) {
+        val nxt = parent.get(c); parent.put(c, r); c = nxt
+      }
+      r
+    }
+    val nodes = new java.util.LinkedHashSet[Any]()
+    e.collect().foreach { r =>
+      val s = r.get(0); val d = r.get(1)
+      nodes.add(s); nodes.add(d)
+      val rs = find(s); val rd = find(d)
+      if (rs != rd) parent.put(rs, rd)
+    }
+    import scala.jdk.CollectionConverters._
+    val minOf = new java.util.HashMap[Any, Any]()
+    nodes.asScala.foreach { v =>
+      val r = find(v)
+      val cur = minOf.get(r)
+      if (cur == null || lt(v, cur)) minOf.put(r, v)
+    }
+    val out = nodes.asScala.toSeq.flatMap { v =>
+      val m = minOf.get(find(v))
+      if (v == m) None
+      else Some(org.apache.spark.sql.Row(v, m))
+    }.sortWith((a, b) => lt(a.get(0), b.get(0)))
+    e.sparkSession.createDataFrame(out.asJava, e.schema)
   }
 
   private def computeClusters(s: org.apache.spark.sql.SparkSession,

@@ -43,18 +43,25 @@ object StreamingDedup {
   /** First-wins exact dedup over a stream. Arrival order within a
     * micro-batch is made deterministic by (ts, docId) — verdicts must
     * not depend on partition iteration order. `ttlMs`: event-time state
-    * eviction horizon in ms (a watermark is attached when set); None =
-    * exact/unbounded.
+    * eviction horizon in ms; None = exact/unbounded.
+    *
+    * When `ttlMs` is set a watermark of `watermarkDelayMs` is attached to
+    * `ts` (TTL eviction needs event-time progress). CAVEAT that implies:
+    * an event arriving more than `watermarkDelayMs` of event time behind
+    * the stream's max-seen `ts` is dropped by the engine BEFORE dedup —
+    * no verdict row is emitted for it at all. Size the delay to the
+    * ingest tail's real out-of-orderness; the unbounded (None) path has
+    * no watermark and never drops.
     */
-  def exactDedupStream(docs: Dataset[DocEvent], ttlMs: Option[Long] = None)
-      : Dataset[DedupVerdict] = {
+  def exactDedupStream(docs: Dataset[DocEvent], ttlMs: Option[Long] = None,
+      watermarkDelayMs: Long = 10000L): Dataset[DedupVerdict] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.functions._
     val hashed = {
       val base = docs
         .select($"ts", $"docId", md5($"text").as("contentHash"))
       (ttlMs match {
-        case Some(_) => base.withWatermark("ts", "10 seconds")
+        case Some(_) => base.withWatermark("ts", s"$watermarkDelayMs milliseconds")
         case None    => base
       }).as[Hashed]
     }

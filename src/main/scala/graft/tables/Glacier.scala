@@ -15,7 +15,10 @@ import org.json4s.jackson.Serialization
   *
   * {{{
   * root/
-  *   data/snap-<id>/<table>/   immutable parquet dirs (never rewritten)
+  *   data/snap-<id>-<tag>/<table>/  immutable parquet dirs (never
+  *                             rewritten; <tag> is unique per commit
+  *                             attempt so racing committers never share
+  *                             a staging dir)
   *   meta/snap-<id>.json       manifest: parent id, per-table file lists
   *                             (per-partition lineage: part-file names +
   *                             byte sizes + row counts), metrics
@@ -52,7 +55,21 @@ final class Glacier(val root: String) {
   private val SnapJsonRe = "^snap-(\\d+)\\.json$".r
 
   private def metaDir: Path = Paths.get(root, "meta")
-  private def dataDir(snap: Long): String = s"$root/data/snap-$snap"
+
+  /** Staging root for ONE commit attempt: `data/snap-<id>-<unique tag>/`.
+    * The tag removes the shared-dir race between same-parent committers —
+    * a CAS loser's staged files can never collide with the winner's (the
+    * object-store mapping: stage under unique keys, conditional-put the
+    * pointer). The manifest records the full staged paths, so normal reads
+    * never depend on the name; only readBetween's lineage lookup parses the
+    * id back out (SnapDirRe tolerates the tag). Orphan loser dirs are
+    * unreferenced by every manifest and get swept by expireSnapshots.
+    */
+  private def newStagingDir(snap: Long): String = {
+    val tag = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong() & 0xffffffffL)
+    s"$root/data/snap-$snap-$tag"
+  }
 
   // ---- read side -----------------------------------------------------------
 
@@ -128,7 +145,9 @@ final class Glacier(val root: String) {
     }
   }
 
-  private val SnapDirRe = ".*/data/snap-(\\d+)/[^/]+$".r
+  // staged table dirs: data/snap-<id>[-<attempt tag>]/<table> — the
+  // optional tag is the unique-staging suffix (untagged dirs predate it)
+  private val SnapDirRe = ".*/data/snap-(\\d+)(?:-[0-9a-f]+)?/[^/]+$".r
   private def snapIdOf(dir: String): Option[Long] = dir match {
     case SnapDirRe(id) => Some(id.toLong)
     case _             => None
@@ -205,8 +224,9 @@ final class Glacier(val root: String) {
     Files.createDirectories(metaDir)
     val parent = currentManifest
     val newId = parent.map(_.snapshotId + 1).getOrElse(1L)
-    writeStages(newId, writes, par)
-    val written = tableStates(newId, writes, parent)
+    val stageRoot = newStagingDir(newId)
+    writeStages(stageRoot, writes, par)
+    val written = tableStates(stageRoot, writes, parent)
     flip(newId, parent, written, metrics, note)
     newId
   }
@@ -226,7 +246,7 @@ final class Glacier(val root: String) {
     * sensitive effects (manifest, row-count thunks) happen after the
     * final barrier either way.
     */
-  private def writeStages(newId: Long, ws: Seq[TableWrite],
+  private def writeStages(stageRoot: String, ws: Seq[TableWrite],
                           callerPar: Int = 1): Unit = {
     if (ws.isEmpty) return
     val verbose = sys.env.contains("SPARK_GRAFT_COMMIT_VERBOSE")
@@ -244,9 +264,9 @@ final class Glacier(val root: String) {
         val tasks: Seq[java.util.concurrent.Callable[Unit]] = group.map { w =>
           () => {
             val t0 = System.nanoTime()
-            w.df.write.mode("overwrite").parquet(s"${dataDir(newId)}/${w.table}")
+            w.df.write.mode("overwrite").parquet(s"$stageRoot/${w.table}")
             if (verbose) System.err.println(
-              f"[commit] snap-$newId ${w.table}%-10s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+              f"[commit] $stageRoot ${w.table}%-10s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
           }
         }
         pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
@@ -254,10 +274,10 @@ final class Glacier(val root: String) {
     } finally pool.shutdown()
   }
 
-  private def tableStates(newId: Long, writes: Seq[TableWrite],
+  private def tableStates(stageRoot: String, writes: Seq[TableWrite],
                           parent: Option[Manifest]): Map[String, TableState] =
     writes.map { w =>
-      val dir = s"${dataDir(newId)}/${w.table}"
+      val dir = s"$stageRoot/${w.table}"
       val local = Paths.get(dir)
       val paths = scala.util.Using.resource(Files.list(local)) { stream =>
         stream.iterator().asScala
@@ -304,10 +324,10 @@ final class Glacier(val root: String) {
     * manifest + pointer. A committer that lost the race gets a retryable
     * [[Glacier.CommitConflictException]] and publishes NOTHING — two
     * drivers on one root can no longer silently fork history with
-    * last-writer-wins. (Caveat, documented: the LOSER's staged
-    * `data/snap-<id>/` writes may have raced the winner's on a shared
-    * root — retry re-stages; on an object store this maps to staging
-    * under unique keys + a conditional-put of the pointer.)
+    * last-writer-wins. Staged data dirs carry a per-attempt unique tag
+    * (see [[newStagingDir]]), so a loser's staged files never touched the
+    * winner's — the loser retries cleanly and its orphan dirs await
+    * expiry.
     */
   private def flip(newId: Long, parent: Option[Manifest],
                    written: Map[String, TableState],
@@ -401,11 +421,12 @@ final class Glacier(val root: String) {
     }
     prevHandle.filter(_.failed).foreach(_.await()) // rethrow, fail fast
     val (front, back) = writes.partition(_.barrier)
-    writeStages(newId, front) // phase A: durable before the handle returns
+    val stageRoot = newStagingDir(newId)
+    writeStages(stageRoot, front) // phase A: durable before the handle returns
     val readable: Map[String, List[String]] = {
       val dropped = base -- back.map(_.table) // their dirs don't exist yet
       front.foldLeft(dropped) { (acc, w) =>
-        val dir = s"${dataDir(newId)}/${w.table}"
+        val dir = s"$stageRoot/${w.table}"
         val parentDirs = w.mode match {
           case Append  => acc.getOrElse(w.table, Nil)
           case Replace => Nil
@@ -420,11 +441,11 @@ final class Glacier(val root: String) {
       def run(): Unit =
         try {
           prevHandle.foreach(_.await()) // FIFO ⇒ instant unless it failed
-          writeStages(newId, back)
+          writeStages(stageRoot, back)
           val parent = currentManifest // prev flipped by the await above
           require(parent.map(_.snapshotId + 1).getOrElse(1L) == newId,
             s"pipelined commit $newId lost its parent (CURRENT moved)")
-          val written = tableStates(newId, writes, parent)
+          val written = tableStates(stageRoot, writes, parent)
           flip(newId, parent, written, metrics, note)
           onComplete()
           fut.complete(newId)

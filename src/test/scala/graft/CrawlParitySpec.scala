@@ -364,4 +364,26 @@ class CrawlParitySpec extends AnyFunSuite {
       .select("url").collect().map(_.getString(0)).toSet
     assert(seenB === oracle.seen)
   }
+
+  test("serial (pipelineCommits=false) crawl is bit-identical to pipelined") {
+    // insurance on the riskiest r4 change: both commit paths must stay
+    // interchangeable as the loop evolves
+    val root3 = Files.createTempDirectory("crawl-serial").toString
+    CrawlLoop.run(spark, cfg(root3).copy(pipelineCommits = false))
+    val gs = new graft.tables.Glacier(root3)
+    def logOf(gl: graft.tables.Glacier) =
+      gl.read(spark, "crawl_log").get
+        .orderBy("round", "seqInRound")
+        .select("round", "seqInRound", "url", "status", "attempts")
+        .collect().map(_.toString).toVector
+    assert(logOf(gs) === logOf(g))
+    val seenSerial = gs.read(spark, "seen").get
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(seenSerial === oracle.seen)
+    // per-round metrics equal too (both sides carry the same Observation
+    // lineage regardless of which thread evaluated the thunks)
+    def metricsOf(gl: graft.tables.Glacier) =
+      gl.history.map(m => (m.note, m.metrics))
+    assert(metricsOf(gs) === metricsOf(g))
+  }
 }

@@ -88,12 +88,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val path = (0 until 63).map(i => (f"d$i%03d", f"d${i + 1}%03d"))
     val other = Seq(("x1", "x2"), ("x2", "x3")) // second component
     val edges = (path ++ other).toDF("src", "dst")
-    val (stars, iters) = DedupOps.connectedComponents(edges)
+    // localFinishEdges = 0 forces the DISTRIBUTED contraction — this test
+    // pins the log-round closure, not the small-set shortcut
+    val (stars, iters) = DedupOps.connectedComponents(edges, localFinishEdges = 0L)
     val got = stars.collect().map(r => r.getString(0) -> r.getString(1)).toMap
     (1 to 63).foreach(i => assert(got(f"d$i%03d") === "d000"))
     assert(got("x2") === "x1" && got("x3") === "x1")
     assert(!got.contains("d000") && !got.contains("x1")) // roots emit no edge
     assert(iters <= 14, s"path of 64 took $iters rounds (expected ~2·log2)")
+  }
+
+  test("small-edge local finish equals the distributed fixed point") {
+    // same worst-case path + side component, default threshold → the
+    // driver union-find takes over at iteration 0; star edges must be
+    // IDENTICAL to the distributed contraction's
+    val path = (0 until 63).map(i => (f"d$i%03d", f"d${i + 1}%03d"))
+    val other = Seq(("x1", "x2"), ("x2", "x3"))
+    val edges = (path ++ other).toDF("src", "dst")
+    val (local, itersLocal) = DedupOps.connectedComponents(edges)
+    val (dist, _) = DedupOps.connectedComponents(edges, localFinishEdges = 0L)
+    assert(itersLocal === 0, "small input must not pay a distributed round")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs(local) === pairs(dist))
   }
 
   test("quadratic-twin guard refuses oversized blocks, passes small ones") {

@@ -66,7 +66,7 @@ class FetchClientSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("HTTP client: 200 body becomes a one-span doc with resolved outlinks") {
-    val c = HttpFetchClient()
+    val c = HttpFetchClient(sleeper = HttpFetchClient.noPacing)
     val p = c.fetch(s"$base/ok")
     assert(p.status === 200 && p.attempts === 1)
     assert(p.host === "127.0.0.1")
@@ -78,13 +78,13 @@ class FetchClientSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("HTTP client: 202-then-200 is absorbed by the retry envelope") {
-    val p = HttpFetchClient().fetch(s"$base/flaky")
+    val p = HttpFetchClient(sleeper = HttpFetchClient.noPacing).fetch(s"$base/flaky")
     assert(p.status === 200 && p.attempts === 2)
     assert(hits.get("/flaky").get() === 2)
   }
 
   test("HTTP client: 404 retried to the bound, given up as a null row") {
-    val p = HttpFetchClient(maxAttempts = 3).fetch(s"$base/missing")
+    val p = HttpFetchClient(maxAttempts = 3, sleeper = HttpFetchClient.noPacing).fetch(s"$base/missing")
     assert(p.status === 404 && p.attempts === 3)
     assert(p.doc.spans.isEmpty && p.links.isEmpty)
     assert(hits.get("/missing").get() === 3)
@@ -92,19 +92,33 @@ class FetchClientSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("HTTP client: transport failure = retryable status 0, never a throw") {
     // a port nothing listens on — connection refused
-    val p = HttpFetchClient(maxAttempts = 2, connectTimeoutMs = 2000)
+    val p = HttpFetchClient(maxAttempts = 2, connectTimeoutMs = 2000, sleeper = HttpFetchClient.noPacing)
       .fetch("http://127.0.0.1:1/void")
     assert(p.status === 0 && p.attempts === 2)
   }
 
   test("HTTP client: body capped at maxBodyBytes") {
-    val p = HttpFetchClient(maxBodyBytes = 128).fetch(s"$base/huge")
+    val p = HttpFetchClient(maxBodyBytes = 128, sleeper = HttpFetchClient.noPacing).fetch(s"$base/huge")
     assert(p.status === 200)
     assert(p.doc.spans.head.text.length === 128)
   }
 
+  test("HTTP client: backoff honors the reference schedule (virtual clock)") {
+    // toolbox.py:72-76 — sleep delay + (attempt-1)*10 s before each attempt
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val c = HttpFetchClient(maxAttempts = 3, sleeper = ms => slept += ms)
+    assert((1 to 3).map(c.backoffMs) === Seq(1000L, 11000L, 21000L))
+    val p = c.fetch(s"$base/missing")
+    assert(p.status === 404 && p.attempts === 3)
+    assert(slept.toSeq === Seq(1000L, 11000L, 21000L))
+    // a 200 first try pays only the initial delay
+    slept.clear()
+    assert(c.fetch(s"$base/ok").attempts === 1)
+    assert(slept.toSeq === Seq(1000L))
+  }
+
   test("clients survive executor serialization (the mapPartitions seam)") {
-    val http = roundTrip(HttpFetchClient())
+    val http = roundTrip(HttpFetchClient(sleeper = HttpFetchClient.noPacing))
     assert(http.fetch(s"$base/ok").status === 200)
     val repo = RepoConfig(seed = 5L, universe = 50)
     val syn = roundTrip(SyntheticFetchClient(repo))

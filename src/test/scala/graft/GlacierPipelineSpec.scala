@@ -112,6 +112,75 @@ class GlacierPipelineSpec extends AnyFunSuite {
     assert(g2.rowCount("t") === 2L)
   }
 
+  test("unique staging: a CAS loser never touches the winner's data files") {
+    val root = tmpRoot()
+    val g0 = new Glacier(root)
+    g0.commit(spark, Seq(g0.TableWrite("t", Seq(0).toDF("v"), g0.Append)))
+    val gA = new Glacier(root)
+    val gB = new Glacier(root)
+    // A's staged write blocks inside its task until released — a
+    // DETERMINISTIC interleave: A enters staging for snap-2, B commits the
+    // SAME table on the same parent and wins, then A finishes and must
+    // lose the CAS. Under shared staging both attempts write
+    // data/snap-2/t (mode overwrite) — the exact collision unique tags
+    // remove.
+    val gated = spark.range(0, 2, 1, 1).as[Long].map { v =>
+      StagingGate.entered.countDown()
+      StagingGate.release.await(60, java.util.concurrent.TimeUnit.SECONDS)
+      v.toInt
+    }.toDF("v")
+    @volatile var aResult: Either[Throwable, Long] = Left(new Exception("unset"))
+    val tA = new Thread(() => {
+      aResult =
+        try Right(gA.commit(spark, Seq(gA.TableWrite("t", gated, gA.Append))))
+        catch { case t: Throwable => Left(t) }
+    })
+    tA.start()
+    assert(StagingGate.entered.await(60, java.util.concurrent.TimeUnit.SECONDS))
+    val bId = gB.commit(spark, Seq(gB.TableWrite("t", Seq(1).toDF("v"), gB.Append)))
+    assert(bId === 2L)
+    // fingerprint the winner's published bytes while A is still staging
+    def fileHashes(): Map[String, String] = {
+      val dirs = gB.manifest(2L).tables("t").files
+      dirs.flatMap { d =>
+        val p = java.nio.file.Paths.get(d)
+        scala.util.Using.resource(Files.list(p)) { s =>
+          scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+            .asScala.filter(_.toString.endsWith(".parquet")).map { f =>
+              val md = java.security.MessageDigest.getInstance("MD5")
+              f.toString -> md.digest(Files.readAllBytes(f)).map("%02x".format(_)).mkString
+            }.toList
+        }
+      }.toMap
+    }
+    val before = fileHashes()
+    assert(before.nonEmpty)
+    StagingGate.release.countDown()
+    tA.join(120000)
+    aResult match {
+      case Left(t) =>
+        assert(t.isInstanceOf[Glacier.CommitConflictException],
+          s"loser must get a retryable conflict, got $t")
+      case Right(id) => fail(s"A must lose the CAS, but committed $id")
+    }
+    // the loser retries successfully on the new parent (latches are spent
+    // so the gated rows pass straight through)
+    val retried = gA.commit(spark, Seq(gA.TableWrite("t", gated, gA.Append)))
+    assert(retried === 3L)
+    assert(gA.read(spark, "t").get.as[Int].collect().sorted
+      === Array(0, 0, 1, 1))
+    // winner's data files byte-for-byte untouched by the losing attempt
+    assert(fileHashes() === before)
+    // both attempts staged under their own tagged dirs for id 2
+    val snap2Dirs = scala.util.Using.resource(
+      Files.list(java.nio.file.Paths.get(root, "data"))) { s =>
+      scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+        .asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("snap-2-")).toList
+    }
+    assert(snap2Dirs.size === 2, s"expected winner + orphan loser dir: $snap2Dirs")
+  }
+
   test("CURRENT compare-and-swap: racing committers, one wins, loser conflicts") {
     val root = tmpRoot()
     val g0 = new Glacier(root)
@@ -159,4 +228,12 @@ class GlacierPipelineSpec extends AnyFunSuite {
       case _         =>
     }
   }
+}
+
+/** Static latches the gated staging write reaches from its task (local
+  * mode: executors share the JVM). One-shot — spent latches pass through,
+  * which the retry in the unique-staging test relies on. */
+object StagingGate {
+  val entered = new CountDownLatch(1)
+  val release = new CountDownLatch(1)
 }
