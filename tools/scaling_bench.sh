@@ -15,9 +15,11 @@ for i in $(seq 1 "$PAIRS"); do
   for CPUS in $CPU_LIST; do
     echo "[pair $i] local[$CPUS] scale=$SCALE ..." >&2
     RUNLOG=/tmp/crawlbench_${SCALE}_${CPUS}_$i.log
+    echo "== pair $i cpus $CPUS $(date +%T) loadavg $(cut -d' ' -f1-3 /proc/loadavg)" >> "$OUT"
     SPARK_GRAFT_CPUS=$CPUS SPARK_GRAFT_CRAWL_SCALE=$SCALE \
       SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-20g} SPARK_GRAFT_CRAWL_VERBOSE=1 \
       sbt -batch "runMain graft.CrawlBench" > "$RUNLOG" 2>&1
+    echo "== end $(date +%T) loadavg $(cut -d' ' -f1-3 /proc/loadavg)" >> "$OUT"
     grep -o '{"metric".*}' "$RUNLOG" >> "$OUT"
     tail -1 "$OUT" >&2
   done
