@@ -151,7 +151,13 @@ object CrawlLoop {
     var prev: Option[Glacier.PendingCommit] = None
     // Barrier tables come from the live handle's staged view; anything the
     // handle doesn't carry (non-barrier tables mid-pipeline, e.g.
-    // crawl_log) falls back to the committed snapshot.
+    // crawl_log) falls back to the last COMMITTED snapshot. That fallback
+    // is read-committed, i.e. deliberately one round stale for a bulk
+    // table whose background write hasn't flipped yet — a caller needing
+    // the in-flight round's bulk output must prev.foreach(_.await())
+    // first (as compaction, the post-pass and loop exit do). All current
+    // in-loop reads are barrier tables (frontier/seen/bloom), always
+    // served by the handle.
     def readTable(table: String): Option[DataFrame] =
       prev.flatMap(_.read(spark, table)).orElse(g.read(spark, table))
     // saturation-watch baseline: ONE column-pruned read here, then the

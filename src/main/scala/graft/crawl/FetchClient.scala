@@ -149,8 +149,18 @@ final case class HttpFetchClient(
 }
 
 object HttpFetchClient {
-  /** Real wall-clock pacing. Interruption propagates (Spark task kill). */
-  val wallClockSleeper: Long => Unit = ms => if (ms > 0) Thread.sleep(ms)
+  /** Real wall-clock pacing. Interruption restores the flag and
+    * propagates (Spark task kill isn't swallowed even by a broad
+    * catch-and-continue caller polling isInterrupted). */
+  val wallClockSleeper: Long => Unit = ms =>
+    if (ms > 0) {
+      try Thread.sleep(ms)
+      catch {
+        case ie: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw ie
+      }
+    }
 
   /** No-pacing sleeper for tests / callers that own pacing elsewhere. */
   val noPacing: Long => Unit = _ => ()

@@ -474,10 +474,11 @@ object DedupOps {
     * Rationale (r4 quiet-window probe): each distributed star round costs
     * ~2 s of fixed job latency regardless of data volume — on a tail of a
     * few thousand edges that overhead dwarfs the work. ≤10⁵ edges is a
-    * bounded driver transfer (a few MB) and one in-memory union-find pass,
-    * read straight off the count the fixed-point signature already
-    * computes — zero extra jobs to decide. At 100 TB the big early rounds
-    * stay fully distributed; only the logarithmic tail collapses. */
+    * bounded driver transfer (a few MB) and one in-memory union-find pass.
+    * Deciding costs one count() on entry (over checkpointed blocks) and
+    * NOTHING mid-loop — there the count rides the fixed-point signature
+    * the loop computes anyway. At 100 TB the big early rounds stay fully
+    * distributed; only the logarithmic tail collapses. */
   val LocalFinishEdges: Long = 100000L
 
   def connectedComponentsCanonical(edges: DataFrame,
@@ -490,13 +491,15 @@ object DedupOps {
           lit(java.math.BigDecimal.ZERO)).as("h")).collect()(0)
       (r.getLong(0), r.getDecimal(1))
     }
-    // the input's signature doubles as its count: small inputs never pay
-    // a distributed round at all (and an input that IS already the fixed
-    // point converges after one round instead of two)
-    var prev = sig(e)
+    // entry gate: ONE count over the checkpointed in-memory blocks (no
+    // hash — xxhashing the full input would tax the 100 TB path that can
+    // never take the shortcut); small inputs never pay a distributed
+    // round at all. Mid-loop gating below is genuinely free: it reads the
+    // count off the fixed-point signature the loop computes anyway.
+    var prev = (-1L, java.math.BigDecimal.ZERO)
     var iters = 0
     var converged = false
-    if (prev._1 <= localFinishEdges) {
+    if (e.count() <= localFinishEdges) {
       val out = localFinishStars(e)
       releaseCheckpoint(e)
       return (out, iters)
@@ -527,8 +530,17 @@ object DedupOps {
     * fixed point, without its per-iteration job latency. Key-type generic
     * (ids are Comparable: long doc ids here, strings in tests). */
   private def localFinishStars(e: DataFrame): DataFrame = {
-    def lt(a: Any, b: Any): Boolean =
-      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    // strings must order like Spark's min/least (UTF-8 BINARY order), not
+    // java.lang.String's UTF-16 compareTo — they disagree on surrogate
+    // pairs vs U+E000..U+FFFF, which would make the local and distributed
+    // paths elect different component minima
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: String, y: String) =>
+        java.util.Arrays.compareUnsigned(
+          x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    }
     val parent = new java.util.HashMap[Any, Any]()
     def find(x: Any): Any = {
       var r = x

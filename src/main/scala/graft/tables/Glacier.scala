@@ -66,8 +66,10 @@ final class Glacier(val root: String) {
     * unreferenced by every manifest and get swept by expireSnapshots.
     */
   private def newStagingDir(snap: Long): String = {
+    // full 64-bit tag: a 32-bit one leaves a ~2^-32 per-race chance of two
+    // same-parent attempts recreating the very collision this removes
     val tag = java.lang.Long.toHexString(
-      java.util.concurrent.ThreadLocalRandom.current().nextLong() & 0xffffffffL)
+      java.util.concurrent.ThreadLocalRandom.current().nextLong())
     s"$root/data/snap-$snap-$tag"
   }
 

@@ -111,6 +111,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(pairs(local) === pairs(dist))
+
+    // MID-LOOP takeover: threshold 64 < the 65 input edges, so the entry
+    // gate passes, at least one distributed star round runs, and the
+    // union-find takes over an INTERMEDIATE contraction state (the edge
+    // count must pass through <=64 on its way to the 64-edge fixed point)
+    val (mid, itersMid) =
+      DedupOps.connectedComponents(edges, localFinishEdges = 64L)
+    assert(itersMid >= 1, "takeover must happen mid-contraction here")
+    assert(pairs(mid) === pairs(dist))
+  }
+
+  test("local finish orders strings like Spark: UTF-8 binary, not UTF-16") {
+    // U+1F600 (surrogate pair) vs U+FFFF: java.lang.String.compareTo puts
+    // the emoji FIRST (0xD83D < 0xFFFF), UTF-8 binary puts it LAST
+    // (F0 > EF) — the component min must follow Spark's order on both
+    // the local and distributed paths
+    val emoji = "\uD83D\uDE00-b" // U+1F600, a surrogate pair
+    val bmp = "\uFFFF-a"
+    val edges = Seq((emoji, bmp)).toDF("src", "dst")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val (local, _) = DedupOps.connectedComponents(edges)
+    val (dist, _) = DedupOps.connectedComponents(edges, localFinishEdges = 0L)
+    assert(pairs(local) === pairs(dist))
+    assert(pairs(local) === Set((emoji, bmp)), "min must be the UTF-8-smaller id")
   }
 
   test("quadratic-twin guard refuses oversized blocks, passes small ones") {

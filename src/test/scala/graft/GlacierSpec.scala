@@ -116,8 +116,13 @@ class GlacierSpec extends AnyFunSuite {
       java.nio.file.Paths.get(root, "data")).iterator()
     val names = scala.jdk.CollectionConverters
       .IteratorHasAsScala(dataDirs).asScala.map(_.getFileName.toString).toSet
-    assert(!names.contains("snap-1") || !java.nio.file.Files.exists(
-      java.nio.file.Paths.get(root, "data", "snap-1", "rep")))
+    // staging dirs are snap-<id>-<tag>: snapshot 1's Replace'd `rep` dir
+    // must be gone from whatever tagged dir staged it (its manifest was
+    // expired, so nothing references it)
+    val snap1RepDirs = names.filter(_.startsWith("snap-1-")).filter(n =>
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, "data", n, "rep")))
+    assert(snap1RepDirs.isEmpty, s"unreferenced dirs survived: $snap1RepDirs")
   }
 
   test("compaction + expiry bound a growing seen/bloom state (crawl shape)") {
