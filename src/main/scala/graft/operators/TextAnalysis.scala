@@ -262,5 +262,75 @@ object TextAnalysis {
           dup_frac <= 0.1 AND top_segment_share <= 0.35 AS keep
         FROM m ORDER BY doc_id"""),
     ),
+    // ---- stratified deterministic sampling ----------------------------------
+    // Per-language downsampling with content-addressed gates (the q_train_split
+    // mechanics with a per-stratum rate): dominant-language rebalancing of a
+    // training corpus. Zero shuffle, growth-stable (a doc's verdict never
+    // changes as the corpus grows), rerun-stable (no RNG) — the properties
+    // `DataFrame.sample` does NOT give across re-partitions at 100 TB.
+    QueryEntry(
+      "q_stratified_sample",
+      (s, dir) => {
+        val bucket = pmod(
+          conv(substring(md5(concat(lit("sample:"), col("doc_id"))), 1, 8),
+            16, 10).cast("long"), lit(100L))
+        val rate = when(col("lang") === "en", 10L).otherwise(40L)
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), bucket.as("bucket"),
+            rate.as("rate"))
+          .where(col("bucket") < col("rate"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, lang,
+            CAST(('0x' || substr(md5('sample:' || doc_id), 1, 8)) AS BIGINT) % 100
+              AS bucket,
+            CAST(CASE WHEN lang = 'en' THEN 10 ELSE 40 END AS BIGINT) AS rate
+          FROM documents)
+        SELECT doc_id, lang, bucket, rate FROM b
+        WHERE bucket < rate ORDER BY doc_id"""),
+    ),
+    // ---- exact length percentiles per stratum --------------------------------
+    // Corpus-shape stats (p50/p90/p99 token counts per language) via the
+    // HISTOGRAM shape, not a per-stratum sort: groupBy(lang, n_tokens) first,
+    // so the shuffle carries one row per (lang, DISTINCT count) — bounded by
+    // the value domain, not the corpus — then a tiny cumulative window over
+    // the histogram picks the discrete percentiles. A window straight over
+    // the docs would sort each stratum (low-cardinality partitions = the
+    // skew worst case at 100 TB); the histogram never touches that path.
+    QueryEntry(
+      "q_length_percentiles",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = t(s, dir, "documents").select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        val hist = d.groupBy("lang", "n_tokens").agg(count(lit(1)).as("c"))
+        val cum = hist
+          .withColumn("cum", sum(col("c"))
+            .over(Window.partitionBy("lang").orderBy("n_tokens")))
+          .withColumn("n", sum(col("c")).over(Window.partitionBy("lang")))
+        def pick(p: Double) =
+          min(when(col("cum") >= ceil(col("n") * p), col("n_tokens")))
+        cum.groupBy("lang").agg(
+            max(col("n")).as("n_docs"),
+            pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"),
+            min(col("n_tokens")).as("min_tokens"),
+            max(col("n_tokens")).as("max_tokens"))
+          .orderBy("lang")
+      },
+      Some("""WITH d AS (SELECT lang,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+        h AS (SELECT lang, n_tokens, count(*) AS c FROM d GROUP BY 1, 2),
+        cm AS (SELECT lang, n_tokens,
+            sum(c) OVER (PARTITION BY lang ORDER BY n_tokens) AS cum,
+            sum(c) OVER (PARTITION BY lang) AS n
+          FROM h)
+        SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+          min(CASE WHEN cum >= ceil(n * 0.5) THEN n_tokens END) AS p50,
+          min(CASE WHEN cum >= ceil(n * 0.9) THEN n_tokens END) AS p90,
+          min(CASE WHEN cum >= ceil(n * 0.99) THEN n_tokens END) AS p99,
+          min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+        FROM cm GROUP BY lang ORDER BY lang"""),
+    ),
   )
 }
