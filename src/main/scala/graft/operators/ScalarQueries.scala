@@ -332,5 +332,51 @@ object ScalarQueries {
         array_to_string(string_split(text, ' ')[1:5], ';') AS keywords
         FROM documents ORDER BY doc_id"""),
     ),
+    // ---- URL canonicalization ------------------------------------------------
+    // Seen-set hygiene at crawl scale: the same resource under scheme/host
+    // case variants, a default port, a fragment, or duplicated path slashes
+    // must hash to ONE seen-set key. Canonical form: lowercase scheme+host,
+    // strip :80, drop the fragment, collapse // in the path. (Query-param
+    // reordering is deliberately out of scope — param order can be
+    // semantic.) Pure regexp/substr chain, codegen'd, identical in DuckDB.
+    QueryEntry(
+      "q_fn_url_canon",
+      (s, dir) => {
+        val raw = concat(
+          when(col("doc_id") % 2 === 0, lit("HTTP://")).otherwise(lit("http://")),
+          lit("Node"), pmod(col("doc_id"), lit(5)),
+          lit(".Example.ORG"),
+          when(col("doc_id") % 3 === 0, lit(":80")).otherwise(lit("")),
+          lit("/data//set/"), col("doc_id"),
+          when(col("doc_id") % 4 === 0, lit("#section2")).otherwise(lit("")))
+        val noFrag = regexp_replace(raw, "#.*$", "")
+        val schemeHost = regexp_extract(noFrag, "^([a-zA-Z]+://[^/]*)", 1)
+        val path = substr(noFrag, length(schemeHost) + 1, lit(1000000))
+        val canon = concat(
+          regexp_replace(lower(schemeHost), ":80$", ""),
+          regexp_replace(path, "/{2,}", "/"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), raw.as("raw_url"), canon.as("canon_url"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH src AS (SELECT doc_id,
+            (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'http://' END)
+            || 'Node' || (doc_id % 5) || '.Example.ORG'
+            || (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END)
+            || '/data//set/' || doc_id
+            || (CASE WHEN doc_id % 4 = 0 THEN '#section2' ELSE '' END)
+              AS raw_url
+          FROM documents),
+        nf AS (SELECT doc_id, raw_url,
+            regexp_replace(raw_url, '#.*$', '') AS no_frag FROM src),
+        sh AS (SELECT doc_id, raw_url, no_frag,
+            regexp_extract(no_frag, '^([a-zA-Z]+://[^/]*)', 1) AS scheme_host
+          FROM nf)
+        SELECT doc_id, raw_url,
+          regexp_replace(lower(scheme_host), ':80$', '')
+          || regexp_replace(substr(no_frag, len(scheme_host) + 1, 1000000),
+               '/{2,}', '/', 'g') AS canon_url
+        FROM sh ORDER BY doc_id"""),
+    ),
   )
 }

@@ -332,5 +332,32 @@ object TextAnalysis {
           min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
         FROM cm GROUP BY lang ORDER BY lang"""),
     ),
+    // ---- vocabulary top-k per stratum ----------------------------------------
+    // Most-frequent tokens per language: explode → ONE partial-agg'd shuffle
+    // on (lang, token) → the custom TopKPerKey node (graft.plans) prunes to
+    // the per-language top-10 map-side, so the second shuffle carries at
+    // most keys×k rows. Frequency ties break on the token for a total order
+    // the oracle reproduces.
+    QueryEntry(
+      "q_vocab_topk",
+      (s, dir) => {
+        val tokens = t(s, dir, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+          .where(length(col("token")) > 0)
+        val freq = tokens.groupBy("lang", "token").agg(count(lit(1)).as("freq"))
+        graft.plans.TopKPerKey(freq, Seq(col("lang")),
+            Seq(col("freq").desc, col("token").asc), 10)
+          .select("lang", "token", "freq")
+      },
+      Some("""SELECT lang, token, freq FROM (
+          SELECT lang, token, freq,
+            row_number() OVER (PARTITION BY lang
+              ORDER BY freq DESC, token) AS rn
+          FROM (SELECT lang, token, count(*) AS freq
+                FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+                      FROM documents)
+                WHERE len(token) > 0 GROUP BY 1, 2) f) t
+        WHERE rn <= 10"""),
+    ),
   )
 }
