@@ -303,6 +303,38 @@ object Relational {
           AS running_value
         FROM events ORDER BY user_id, event_id"""),
     ),
+    // ---- salted join (explicit skew handling, north-rule axis A) -----------
+    // The manual form of what the crawl loop's `salts` config does for hot
+    // hosts: the fact side gets a deterministic salt, the (small) dim side
+    // is exploded ×SALTS, and the join key becomes (key, salt) — a single
+    // hot key now lands on SALTS reducers instead of one. Results must be
+    // IDENTICAL to the unsalted join (the oracle is the plain SQL join);
+    // sums ride decimal(28,6) so no float re-association leaks into the
+    // hash. At sandbox SF nothing is skewed — the entry pins the technique
+    // and its equality, the crawl parity suite pins it under real salting.
+    QueryEntry(
+      "q_skew_join_salted",
+      (s, dir) => {
+        val Salts = 8
+        val fact = t(s, dir, "events")
+          .select(col("user_id"), col("value"), col("event_id"))
+          .withColumn("salt", pmod(col("event_id"), lit(Salts)))
+        val dim = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .withColumn("salt", explode(lit((0 until Salts).toArray)))
+        fact.join(broadcast(dim),
+            fact("user_id") + 1 === dim("c_custkey") &&
+              fact("salt") === dim("salt"))
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(28,6)")).cast("double").as("total"))
+          .orderBy("segment")
+      },
+      Some("""SELECT c_mktsegment AS segment, count(*) AS n,
+            CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+          FROM events JOIN customer ON user_id + 1 = c_custkey
+          GROUP BY 1 ORDER BY 1"""),
+    ),
   )
 
   /** F3 exclusion filter as a reusable operator: drop a row if any path

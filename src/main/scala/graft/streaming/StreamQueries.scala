@@ -32,6 +32,13 @@ import graft.streaming.StreamingDedup.DocEvent
 final case class ReplayVerdict(doc_id: String, content_hash: String,
     is_unique: Boolean, keep_id: String)
 
+/** One replayed event for the windowed-aggregation entry. */
+final case class WindowEvent(ts: Timestamp, event_type: String, value: Double)
+
+/** Oracle-facing windowed-count row (top level for codegen, see above). */
+final case class WindowCount(window_start: Timestamp, event_type: String,
+    n: Long, total: Double)
+
 object StreamQueries {
 
   /** Fixed epoch base so event times are bit-deterministic. */
@@ -90,6 +97,69 @@ object StreamQueries {
           SELECT did AS doc_id, h AS content_hash, rn = 1 AS is_unique,
                  keeper AS keep_id
           FROM ranked ORDER BY doc_id"""),
+    ),
+
+    // ---- watermarked tumbling-window aggregation through the real engine --
+    // The second canonical streaming op (after stateful dedup): 6-hour
+    // tumbling windows over the events table, counted per (window,
+    // event_type) in Append mode behind a 1-hour watermark. Replay feeds
+    // one micro-batch per day (within-day disorder stays inside the
+    // watermark; cross-day the watermark only ever trails the next day's
+    // data), then a far-future flush sentinel closes every real window so
+    // Append emits them all — the oracle is a plain DuckDB epoch-floor
+    // rollup.
+    QueryEntry(
+      "q_stream_window_counts",
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val rows = Tables.t(s, dir, "events")
+          .select(col("ts").cast("timestamp"), col("event_type"),
+            col("value").cast("double"))
+          .collect()
+          .map(r => WindowEvent(r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+        val dayMs = 86400000L
+        val batches = rows.groupBy(e => e.ts.getTime / dayMs)
+          .toSeq.sortBy(_._1).map(_._2.toSeq)
+        val flushTs = new Timestamp(rows.map(_.ts.getTime).max + 365L * dayMs)
+
+        val mem = MemoryStream[WindowEvent]
+        val sinkName = "q_stream_window_counts_sink"
+        s.catalog.dropTempView(sinkName)
+        val agg = mem.toDS()
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(28,6)")).as("total_dec"))
+        val q = agg
+          .select(col("window.start").as("window_start"),
+            col("event_type"), col("n"),
+            col("total_dec").cast("double").as("total"))
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode("append").start()
+        val out =
+          try {
+            batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+            mem.addData(Seq(WindowEvent(flushTs, "flush", 0.0)))
+            q.processAllAvailable()
+            s.table(sinkName).collect().map(r => WindowCount(
+              r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+          } finally {
+            q.stop()
+            s.catalog.dropTempView(sinkName)
+          }
+        s.createDataset(out.toSeq.filter(_.event_type != "flush")).toDF()
+          .orderBy("window_start", "event_type")
+      },
+      Some("""WITH b AS (SELECT
+            TIMESTAMP '1970-01-01 00:00:00'
+              + CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
+                * INTERVAL 1 SECOND AS window_start,
+            event_type, value
+          FROM events)
+        SELECT window_start, event_type, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+        FROM b GROUP BY 1, 2 ORDER BY 1, 2"""),
     ),
   )
 }
