@@ -44,6 +44,32 @@ object StreamQueries {
   /** Fixed epoch base so event times are bit-deterministic. */
   private val EpochBaseMs = 1700000000000L
 
+  /** Streaming checkpoints on tmpfs when available — the replay measures
+    * the engine, not one shared local disk (same reasoning as Bench's
+    * spark.local.dir); cleaned up on JVM exit. */
+  private def checkpointDir(): String = {
+    val base = Option("/dev/shm").filter(p =>
+      java.nio.file.Files.isWritable(java.nio.file.Paths.get(p)))
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    graft.BenchDirs.deleteOnExit(java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(base), "stream-replay-ckpt").toString)
+  }
+
+  /** Run `body` with the streaming shuffle pinned to 8 partitions: the
+    * replay streams carry hundreds-to-thousands of state keys, and each
+    * micro-batch pays a state-store commit PER PARTITION — at the bench's
+    * 32 session partitions that's pure fixed overhead. The query captures
+    * the conf at start(); the session value is restored before returning
+    * (batch queries are unaffected). A production stream sizes this to its
+    * real key volume instead. */
+  private def withStreamParts[A](s: org.apache.spark.sql.SparkSession)(
+      body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    try body finally s.conf.set(key, prev)
+  }
+
   def entries: Seq[QueryEntry] = Seq(
     QueryEntry(
       "q_stream_dedup_replay",
@@ -69,9 +95,12 @@ object StreamQueries {
         val mem = MemoryStream[DocEvent]
         val sinkName = "q_stream_dedup_replay_sink"
         s.catalog.dropTempView(sinkName)
-        val q = StreamingDedup.exactDedupStream(mem.toDS())
-          .writeStream.format("memory").queryName(sinkName)
-          .outputMode("append").start()
+        val q = withStreamParts(s) {
+          StreamingDedup.exactDedupStream(mem.toDS())
+            .writeStream.format("memory").queryName(sinkName)
+            .option("checkpointLocation", checkpointDir())
+            .outputMode("append").start()
+        }
         val verdicts =
           try {
             batches.foreach { b => mem.addData(b); q.processAllAvailable() }
@@ -103,11 +132,13 @@ object StreamQueries {
     // The second canonical streaming op (after stateful dedup): 6-hour
     // tumbling windows over the events table, counted per (window,
     // event_type) in Append mode behind a 1-hour watermark. Replay feeds
-    // one micro-batch per day (within-day disorder stays inside the
-    // watermark; cross-day the watermark only ever trails the next day's
-    // data), then a far-future flush sentinel closes every real window so
-    // Append emits them all — the oracle is a plain DuckDB epoch-floor
-    // rollup.
+    // one micro-batch per WEEK — within-batch disorder never drops (drops
+    // are judged against the PREVIOUS batch's watermark, which trails the
+    // next week's data), and weekly batching keeps the per-micro-batch
+    // state-store commit overhead off the bench (daily batching measured
+    // 31 batches ≈ 50 s at sf0.1; weekly ≈ 5). A far-future flush sentinel
+    // then closes every real window so Append emits them all — the oracle
+    // is a plain DuckDB epoch-floor rollup.
     QueryEntry(
       "q_stream_window_counts",
       (s, dir) => {
@@ -118,10 +149,10 @@ object StreamQueries {
             col("value").cast("double"))
           .collect()
           .map(r => WindowEvent(r.getTimestamp(0), r.getString(1), r.getDouble(2)))
-        val dayMs = 86400000L
-        val batches = rows.groupBy(e => e.ts.getTime / dayMs)
+        val weekMs = 7L * 86400000L
+        val batches = rows.groupBy(e => e.ts.getTime / weekMs)
           .toSeq.sortBy(_._1).map(_._2.toSeq)
-        val flushTs = new Timestamp(rows.map(_.ts.getTime).max + 365L * dayMs)
+        val flushTs = new Timestamp(rows.map(_.ts.getTime).max + 52L * weekMs)
 
         val mem = MemoryStream[WindowEvent]
         val sinkName = "q_stream_window_counts_sink"
@@ -131,12 +162,15 @@ object StreamQueries {
           .groupBy(window(col("ts"), "6 hours"), col("event_type"))
           .agg(count(lit(1)).as("n"),
             sum(col("value").cast("decimal(28,6)")).as("total_dec"))
-        val q = agg
-          .select(col("window.start").as("window_start"),
-            col("event_type"), col("n"),
-            col("total_dec").cast("double").as("total"))
-          .writeStream.format("memory").queryName(sinkName)
-          .outputMode("append").start()
+        val q = withStreamParts(s) {
+          agg
+            .select(col("window.start").as("window_start"),
+              col("event_type"), col("n"),
+              col("total_dec").cast("double").as("total"))
+            .writeStream.format("memory").queryName(sinkName)
+            .option("checkpointLocation", checkpointDir())
+            .outputMode("append").start()
+        }
         val out =
           try {
             batches.foreach { b => mem.addData(b); q.processAllAvailable() }
