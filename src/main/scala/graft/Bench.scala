@@ -15,12 +15,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // shuffle/spill on tmpfs when available — same reasoning as CrawlBench:
     // measure the engine, not one shared local disk
-    val localBase = Option("/dev/shm").filter(p =>
-      java.nio.file.Files.isWritable(java.nio.file.Paths.get(p)))
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    val localDir = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(localBase), "bench-local").toString
-    BenchDirs.deleteOnExit(localDir)
+    val localDir = BenchDirs.scratchDir("bench-local")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.local.dir", localDir)
@@ -57,9 +52,7 @@ object Bench {
             "osf" -> 12000, "nomad" -> 50, "gpcrmd" -> 2000, "mddb" -> 3000,
             "atlas" -> 1000),
           maxRounds = 5,
-          glacierRoot = BenchDirs.deleteOnExit(
-            java.nio.file.Files.createTempDirectory(
-              java.nio.file.Paths.get(localBase), "bench-crawl").toString),
+          glacierRoot = BenchDirs.scratchDir("bench-crawl"),
           salts = 8, bloomShards = 64, bloomExpectedPerShard = 1L << 16)
         // AQE off for the BSP loop only (runtime-settable conf): a crawl
         // round is many small known-shape stages where per-stage runtime

@@ -14,6 +14,18 @@ object BenchDirs {
     dir
   }
 
+  /** tmpfs when writable, else the JVM temp dir — THE scratch-base policy
+    * (one definition; Bench, CrawlBench and the streaming replays all
+    * route here so the measurement environments can't silently diverge).
+    */
+  def scratchBase: String =
+    Option("/dev/shm").filter(p => Files.isWritable(Paths.get(p)))
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+
+  /** Fresh delete-on-exit scratch dir under [[scratchBase]]. */
+  def scratchDir(prefix: String): String =
+    deleteOnExit(Files.createTempDirectory(Paths.get(scratchBase), prefix).toString)
+
   private def deleteTree(p: Path): Unit =
     if (Files.exists(p))
       scala.util.Using.resource(Files.walk(p)) { s =>

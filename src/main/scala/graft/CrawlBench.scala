@@ -31,9 +31,7 @@ object CrawlBench {
     // a cluster deployment spreads writes and spills over hundreds of
     // spindles / per-executor NVMe. Override with SPARK_GRAFT_BENCH_ROOT.
     val benchBase = sys.env.get("SPARK_GRAFT_BENCH_ROOT")
-      .orElse(Option("/dev/shm").filter(p =>
-        java.nio.file.Files.isWritable(java.nio.file.Paths.get(p))))
-      .getOrElse(System.getProperty("java.io.tmpdir"))
+      .getOrElse(BenchDirs.scratchBase)
     val root = BenchDirs.deleteOnExit(Files.createTempDirectory(
       java.nio.file.Paths.get(benchBase), s"crawl-bench-$cpus").toString)
     val localDir = BenchDirs.deleteOnExit(Files.createTempDirectory(

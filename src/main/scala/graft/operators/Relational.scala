@@ -307,11 +307,15 @@ object Relational {
     // The manual form of what the crawl loop's `salts` config does for hot
     // hosts: the fact side gets a deterministic salt, the (small) dim side
     // is exploded ×SALTS, and the join key becomes (key, salt) — a single
-    // hot key now lands on SALTS reducers instead of one. Results must be
-    // IDENTICAL to the unsalted join (the oracle is the plain SQL join);
-    // sums ride decimal(28,6) so no float re-association leaks into the
-    // hash. At sandbox SF nothing is skewed — the entry pins the technique
-    // and its equality, the crawl parity suite pins it under real salting.
+    // hot key now lands on SALTS reducers instead of one. The dim side is
+    // hinted shuffle_hash, NOT broadcast: salting is the remedy for
+    // exactly the case where broadcast is impossible, and under a
+    // broadcast there is no join-side exchange for the salt to spread
+    // (the technique would be inert). Results must be IDENTICAL to the
+    // unsalted join (the oracle is the plain SQL join); sums ride
+    // decimal(28,6) so no float re-association leaks into the hash. At
+    // sandbox SF nothing is skewed — the entry pins the technique and its
+    // equality, the crawl parity suite pins it under real salting.
     QueryEntry(
       "q_skew_join_salted",
       (s, dir) => {
@@ -322,7 +326,8 @@ object Relational {
         val dim = t(s, dir, "customer")
           .select(col("c_custkey"), col("c_mktsegment"))
           .withColumn("salt", explode(lit((0 until Salts).toArray)))
-        fact.join(broadcast(dim),
+          .hint("shuffle_hash")
+        fact.join(dim,
             fact("user_id") + 1 === dim("c_custkey") &&
               fact("salt") === dim("salt"))
           .groupBy(col("c_mktsegment").as("segment"))

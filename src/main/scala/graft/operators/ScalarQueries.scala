@@ -336,9 +336,11 @@ object ScalarQueries {
     // Seen-set hygiene at crawl scale: the same resource under scheme/host
     // case variants, a default port, a fragment, or duplicated path slashes
     // must hash to ONE seen-set key. Canonical form: lowercase scheme+host,
-    // strip :80, drop the fragment, collapse // in the path. (Query-param
-    // reordering is deliberately out of scope — param order can be
-    // semantic.) Pure regexp/substr chain, codegen'd, identical in DuckDB.
+    // strip :80 for the http scheme ONLY (on any other scheme :80 is a
+    // real non-default port naming a different resource), drop the
+    // fragment, collapse // in the path. (Query-param reordering is
+    // deliberately out of scope — param order can be semantic.) Pure
+    // regexp/substr chain, codegen'd, identical in DuckDB.
     QueryEntry(
       "q_fn_url_canon",
       (s, dir) => {
@@ -353,7 +355,7 @@ object ScalarQueries {
         val schemeHost = regexp_extract(noFrag, "^([a-zA-Z]+://[^/]*)", 1)
         val path = substr(noFrag, length(schemeHost) + 1, lit(1000000))
         val canon = concat(
-          regexp_replace(lower(schemeHost), ":80$", ""),
+          regexp_replace(lower(schemeHost), "^(http://[^/:]+):80$", "$1"),
           regexp_replace(path, "/{2,}", "/"))
         t(s, dir, "documents")
           .select(col("doc_id"), raw.as("raw_url"), canon.as("canon_url"))
@@ -373,7 +375,7 @@ object ScalarQueries {
             regexp_extract(no_frag, '^([a-zA-Z]+://[^/]*)', 1) AS scheme_host
           FROM nf)
         SELECT doc_id, raw_url,
-          regexp_replace(lower(scheme_host), ':80$', '')
+          regexp_replace(lower(scheme_host), '^(http://[^/:]+):80$', '\1')
           || regexp_replace(substr(no_frag, len(scheme_host) + 1, 1000000),
                '/{2,}', '/', 'g') AS canon_url
         FROM sh ORDER BY doc_id"""),

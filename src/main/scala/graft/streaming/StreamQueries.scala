@@ -46,14 +46,15 @@ object StreamQueries {
 
   /** Streaming checkpoints on tmpfs when available — the replay measures
     * the engine, not one shared local disk (same reasoning as Bench's
-    * spark.local.dir); cleaned up on JVM exit. */
-  private def checkpointDir(): String = {
-    val base = Option("/dev/shm").filter(p =>
-      java.nio.file.Files.isWritable(java.nio.file.Paths.get(p)))
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    graft.BenchDirs.deleteOnExit(java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(base), "stream-replay-ckpt").toString)
-  }
+    * spark.local.dir). ONE delete-on-exit base per JVM (one shutdown hook,
+    * one dir pinned in /dev/shm even under repeated QueryProbe reps — a
+    * SIGKILL leaks at most this single tree), with a fresh numbered subdir
+    * per stream start. */
+  private lazy val checkpointBase: String =
+    graft.BenchDirs.scratchDir("stream-replay-ckpt")
+  private val checkpointSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private def checkpointDir(): String =
+    s"$checkpointBase/q${checkpointSeq.incrementAndGet()}"
 
   /** Run `body` with the streaming shuffle pinned to 8 partitions: the
     * replay streams carry hundreds-to-thousands of state keys, and each
@@ -149,10 +150,15 @@ object StreamQueries {
             col("value").cast("double"))
           .collect()
           .map(r => WindowEvent(r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+        if (rows.isEmpty) {
+          // empty source → empty frame (the oracle's result), not a crash
+          s.createDataset(Seq.empty[WindowCount]).toDF()
+        } else {
         val weekMs = 7L * 86400000L
         val batches = rows.groupBy(e => e.ts.getTime / weekMs)
           .toSeq.sortBy(_._1).map(_._2.toSeq)
-        val flushTs = new Timestamp(rows.map(_.ts.getTime).max + 52L * weekMs)
+        val maxRealTs = rows.map(_.ts.getTime).max
+        val flushTs = new Timestamp(maxRealTs + 52L * weekMs)
 
         val mem = MemoryStream[WindowEvent]
         val sinkName = "q_stream_window_counts_sink"
@@ -182,8 +188,15 @@ object StreamQueries {
             q.stop()
             s.catalog.dropTempView(sinkName)
           }
-        s.createDataset(out.toSeq.filter(_.event_type != "flush")).toDF()
+        // drop the sentinel by TIME, never by event_type (a real event
+        // type named "flush" must survive): every real window starts at or
+        // before the max real event ts; the sentinel's window starts a
+        // year after it (and can't emit anyway — the watermark never
+        // passes it)
+        s.createDataset(out.toSeq.filter(_.window_start.getTime <= maxRealTs))
+          .toDF()
           .orderBy("window_start", "event_type")
+        }
       },
       Some("""WITH b AS (SELECT
             TIMESTAMP '1970-01-01 00:00:00'
