@@ -26,6 +26,7 @@ object DedupOps {
   private val ShingleSize = 3
   private val NumHashes = 8
   private val BandRows = 2 // 4 bands of 2 rows
+  private val ParagraphWords = 8 // C4-style pseudo-paragraph chunk width
 
   // ---- shared shingle / signature builders (Spark side) --------------------
   /** Word k-shingles of a text column (empty array when fewer than k words). */
@@ -383,7 +384,65 @@ object DedupOps {
             FROM reach GROUP BY id ORDER BY doc_id"""
       },
     ),
+    // ---- C4-style corpus-level paragraph dedup (first occurrence wins) ----
+    // Each document splits into fixed 8-word "paragraph" chunks (the last
+    // chunk may be shorter); a paragraph survives only at its FIRST corpus
+    // occurrence in (doc_id, chunk-index) order — C4/CCNet-style global
+    // paragraph dedup (reference analog: the md5-keyed first-wins download
+    // cache, scripts/download_files.py:142-187, generalized from file- to
+    // paragraph-granularity). Scale shape: the dedup is ONE partial-agg
+    // shuffle keyed on md5(chunk) with a min(struct) first-wins aggregate
+    // (the D1 crawl-dedup pattern) — the map side collapses to one candidate
+    // per distinct paragraph per partition and no join back is needed; the
+    // per-doc reassembly is a second shuffle bounded by SURVIVING paragraphs
+    // only. Equality is md5 hash-equality (what C4 does at corpus scale);
+    // 128-bit collisions sit far below storage-corruption rates.
+    QueryEntry(
+      "q_paragraph_dedup",
+      (s, dir) => paragraphDedup(t(s, dir, "documents")).orderBy("doc_id"),
+      Some(s"""WITH c AS (
+          SELECT doc_id, CAST(i AS INT) AS idx,
+                 array_to_string(string_split(text,' ')[i*$ParagraphWords+1 : i*$ParagraphWords+$ParagraphWords], ' ') AS chunk
+          FROM documents,
+               UNNEST(range(CAST(ceil(len(string_split(text,' ')) / $ParagraphWords.0) AS BIGINT))) AS t(i)),
+        k AS (SELECT doc_id, idx, chunk,
+                 row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, idx) AS rn
+              FROM c)
+        SELECT doc_id, count(*) AS n_kept,
+               md5(string_agg(chunk, chr(10) ORDER BY idx)) AS kept_sig
+        FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id"""),
+    ),
   )
+
+  /** C4-style corpus paragraph dedup over (doc_id, text): fixed 8-word
+    * chunks, first corpus occurrence in (doc_id, idx) order wins; returns
+    * one row per surviving doc with the kept-chunk count and an md5 over
+    * the kept chunks in document order. See the `q_paragraph_dedup` entry
+    * comment for the scale shape (min(struct) partial agg on md5(chunk),
+    * no join back).
+    */
+  def paragraphDedup(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val nChunks = ceil(size(words).cast("double") / ParagraphWords).cast("int")
+    val chunkArr = when(size(words) > 0,
+      transform(sequence(lit(0), nChunks - 1),
+        i => array_join(
+          slice(words, i * ParagraphWords + 1, lit(ParagraphWords)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val chunks = docs
+      .select(col("doc_id"), posexplode(chunkArr).as(Seq("idx", "chunk")))
+    val winners = chunks
+      .groupBy(md5(col("chunk")).as("chash"))
+      .agg(min(struct(col("doc_id"), col("idx"), col("chunk"))).as("w"))
+    winners
+      .select(col("w.doc_id").as("doc_id"), col("w.idx").as("idx"),
+        col("w.chunk").as("chunk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          x => x.getField("chunk")), "\n")).as("kept_sig"))
+  }
 
   /** The converged generation stays cached (the returned plan reads
     * through it). SINGLE-entry memo: re-invocation on the same

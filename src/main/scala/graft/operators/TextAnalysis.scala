@@ -40,6 +40,22 @@ object TextAnalysis {
     }
   }
 
+  /** Corpus-wide adjacent-token bigram counts over a (text) column: one
+    * (w1, w2, n) row per observed transition. Narrow array expansion; the
+    * single shuffle is the partial-agg'd count (≤|vocab|² groups).
+    */
+  def tokenBigrams(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val words = split(col("text"), " ")
+    val pairs = when(size(words) >= 2,
+      transform(sequence(lit(0), size(words) - 2),
+        i => struct(element_at(words, i + 1).as("w1"),
+          element_at(words, i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    docs.select(explode(pairs).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   private def sqlWordCount(words: String, w: String): String =
     s"len(list_filter($words, x -> x = '$w'))"
 
@@ -358,6 +374,22 @@ object TextAnalysis {
                       FROM documents)
                 WHERE len(token) > 0 GROUP BY 1, 2) f) t
         WHERE rn <= 10"""),
+    ),
+    // ---- corpus bigram transition counts (Markov / LM statistics) ---------
+    // Adjacent-token transition matrix over the whole corpus — the n-gram LM
+    // building block and the usual "improbable transition" quality signal.
+    // Scale shape: the bigram expansion is a NARROW codegen'd array
+    // transform (no shuffle, no positional self-join); the only shuffle is
+    // the final partial-agg count, which map-side-combines to at most
+    // |vocab|² rows per partition regardless of corpus size.
+    QueryEntry(
+      "q_token_bigrams",
+      (s, dir) => tokenBigrams(t(s, dir, "documents")).orderBy("w1", "w2"),
+      Some("""WITH b AS (
+          SELECT string_split(text,' ')[CAST(i AS INT)] AS w1,
+                 string_split(text,' ')[CAST(i AS INT)+1] AS w2
+          FROM documents, UNNEST(range(1, len(string_split(text,' ')))) AS t(i))
+        SELECT w1, w2, count(*) AS n FROM b GROUP BY w1, w2 ORDER BY w1, w2"""),
     ),
   )
 }

@@ -185,4 +185,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val labels = got.map(_.getInt(1)).toSet
     assert(labels.size <= 3, "results restricted to probed partitions")
   }
+
+  test("paragraph dedup: corpus-wide first-wins over 8-word chunks") {
+    // doc1: 2 chunks; doc2 repeats doc1's first chunk then adds 2 of its
+    // own; doc3 is EXACTLY doc1's second chunk (drops out entirely);
+    // doc4 is a short single chunk; doc5 repeats its own first chunk.
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h x y z w q r s t u v"),
+      (3L, "i j"),
+      (4L, "short words only"),
+      (5L, "p q r s t u v w p q r s t u v w"),
+    ).toDF("doc_id", "text")
+    val got = DedupOps.paragraphDedup(corpus).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.map(t => t._1 -> t._2).toSeq ===
+      Seq(1L -> 2L, 2L -> 2L, 4L -> 1L, 5L -> 1L)) // doc3 fully deduped
+    // doc1 keeps both chunks in document order
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sig1 = md.digest("a b c d e f g h\ni j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got.find(_._1 == 1L).get._3 === sig1)
+    // doc2 keeps only its OWN chunks (the shared first chunk went to doc1)
+    val sig2 = md.digest("x y z w q r s t\nu v".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got.find(_._1 == 2L).get._3 === sig2)
+  }
 }
