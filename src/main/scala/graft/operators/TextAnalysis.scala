@@ -56,6 +56,36 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Content-addressed split bucket (0..99) — md5-head of the salted id.
+    * Shared by `q_train_split` and `q_decontamination`.
+    */
+  def splitBucket: Column = pmod(
+    conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 8),
+      16, 10).cast("long"), lit(100L))
+
+  /** Test-set contamination detection: one row per eval doc that shares at
+    * least one word k-gram with ANY train doc, with the count of its
+    * distinct shared k-grams. The standard pre-release decontamination
+    * check for an LLM training corpus. Scale shape: both sides reduce to
+    * DISTINCT n-gram hashes before the join — the train side is one
+    * partial-agg'd distinct bounded by distinct-n-gram volume (not corpus
+    * volume), and the join is an equi-join on the hash (at 100 TB: truncate
+    * md5 to 64 bits for the shuffle key and let AQE/bloom prefilter the
+    * eval side; md5 is kept here so the DuckDB oracle reproduces it).
+    */
+  def contaminationBetween(train: org.apache.spark.sql.DataFrame,
+                           eval: org.apache.spark.sql.DataFrame,
+                           k: Int): org.apache.spark.sql.DataFrame = {
+    val trainG = train
+      .select(explode(DedupOps.shingles(col("text"), k)).as("g"))
+      .select(md5(col("g")).as("gh")).distinct()
+    val evalG = eval
+      .select(col("doc_id"), explode(DedupOps.shingles(col("text"), k)).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("gh")).distinct()
+    evalG.join(trainG, "gh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+  }
+
   private def sqlWordCount(words: String, w: String): String =
     s"len(list_filter($words, x -> x = '$w'))"
 
@@ -169,9 +199,7 @@ object TextAnalysis {
     QueryEntry(
       "q_train_split",
       (s, dir) => {
-        val bucket = pmod(
-          conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 8),
-            16, 10).cast("long"), lit(100L))
+        val bucket = splitBucket
         t(s, dir, "documents").select(
           col("doc_id"),
           bucket.as("bucket"),
@@ -390,6 +418,34 @@ object TextAnalysis {
                  string_split(text,' ')[CAST(i AS INT)+1] AS w2
           FROM documents, UNNEST(range(1, len(string_split(text,' ')))) AS t(i))
         SELECT w1, w2, count(*) AS n FROM b GROUP BY w1, w2 ORDER BY w1, w2"""),
+    ),
+    // ---- train/eval contamination detection -------------------------------
+    // Word-4-gram overlap between the content-addressed train split
+    // (bucket < 90) and the held-out eval split (bucket >= 90) — the
+    // pre-release decontamination sweep. See [[contaminationBetween]] for
+    // the scale shape (distinct-hash reduction on both sides BEFORE the
+    // equi-join; no text ever crosses the shuffle).
+    QueryEntry(
+      "q_decontamination",
+      (s, dir) => {
+        val withB = t(s, dir, "documents")
+          .select(col("doc_id"), col("text"), splitBucket.as("bucket"))
+        contaminationBetween(
+          withB.filter(col("bucket") < 90),
+          withB.filter(col("bucket") >= 90), 4)
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, text,
+            CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 100
+              AS bucket FROM documents),
+        g AS (SELECT doc_id, bucket,
+            unnest(list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 1)),
+              i -> array_to_string(string_split(text,' ')[i:i+3], ' '))) AS g
+          FROM b),
+        tg AS (SELECT DISTINCT md5(g) AS gh FROM g WHERE bucket < 90),
+        eg AS (SELECT DISTINCT doc_id, md5(g) AS gh FROM g WHERE bucket >= 90)
+        SELECT doc_id, count(*) AS n_shared FROM eg JOIN tg USING (gh)
+        GROUP BY doc_id ORDER BY doc_id"""),
     ),
   )
 }
