@@ -19,8 +19,17 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
-      println(s"\n===== $n =====")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      // "exec:<name>" runs the query first and prints the FINAL adaptive
+      // plan (shows AQE decisions: ReusedExchange, replanned joins).
+      if (n.startsWith("exec:")) {
+        val df = SparkEntry.queries(n.stripPrefix("exec:"))(spark, sfDir)
+        df.collect()
+        println(s"\n===== $n (final adaptive plan) =====")
+        println(df.queryExecution.executedPlan.toString)
+      } else {
+        println(s"\n===== $n =====")
+        SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      }
     }
     spark.stop()
   }

@@ -124,6 +124,49 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Per-label centroid vectors over a (label, v:array<double>) frame:
+    * per-dimension means via decimal sums — bit-stable under any
+    * partitioning/visit order (decimal addition is exact), used as the IVF
+    * coarse codebook where the centroid is an INTERMEDIATE. Scale shape:
+    * one narrow posexplode, then two partial-agg'd shuffles whose output
+    * grain is labels×dims rows (centroid count, not corpus size).
+    */
+  def labelCentroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("x").cast("decimal(38,18)")).cast("double") /
+            count(lit(1))).as("m"),
+        count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vectors"),
+        transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+
+  /** Centroids for EMISSION (cross-engine-reproducible doubles): the
+    * decimal(38,18) mean above is order-stable but its double→decimal
+    * rounding at digit 18 is not specified identically across engines
+    * (half-up vs half-even), so emitted means can differ in the last ulp.
+    * Here every step is exact or IEEE-correctly-rounded in BOTH engines:
+    * components quantize to integral nano-units (`floor(x·1e9)` — the
+    * multiply is correctly rounded, floor exact), sums run in decimal(38,0)
+    * (integral — no fractional rounding, exact at any corpus size, still
+    * partial-agg'd map-side), and the two closing divisions are IEEE double
+    * ops. Quantization bias is <1e-9 per component — noise for a corpus-map
+    * statistic; determinism-by-construction is what the oracle needs.
+    */
+  def labelCentroidsQuantized(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(floor(col("x") * 1e9).cast("decimal(38,0)"))
+             .cast("double").as("sq"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (col("sq") / col("n") / 1e9).as("m"), col("n"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vectors"),
+        transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+
   /** IVF search: per-label centroids (exact decimal means → bit-stable),
     * probe the `nprobe` centroids nearest to the query, then brute-force
     * only within the probed labels.
@@ -131,14 +174,7 @@ object SimilarityOps {
   def ivfTopK(emb: DataFrame, queryVecId: Long, nprobe: Int, k: Int): DataFrame = {
     val e = emb.select(col("vec_id"), col("label"),
       transform(col("embedding"), _.cast("double")).as("v"))
-    // exact per-dimension means: decimal sums are order-independent
-    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos"))
-      .agg((sum(col("x").cast("decimal(38,18)")).cast("double") /
-            count(lit(1))).as("m"))
-      .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => s.getField("m")).as("cv"))
+    val cent = labelCentroids(e).select(col("label"), col("centroid").as("cv"))
     val q = e.filter(col("vec_id") === queryVecId).select(col("v").as("qv"))
     val probed = cent.crossJoin(broadcast(q))
       .select(col("label"), cosine(col("cv"), col("qv")).as("ccos"))
@@ -210,6 +246,37 @@ object SimilarityOps {
           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
           WHERE ${sqlCosine("a.v", "b.v")} > 0.25
           ORDER BY vec_a, vec_b"""),
+    ),
+    // per-source centroid vectors + member count + L2 norm — the corpus-map
+    // statistic an embedding pipeline publishes per source/cluster (and the
+    // IVF coarse codebook, reused verbatim by q_ann_ivf's probe stage)
+    QueryEntry(
+      "q_embedding_centroids",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select(col("label"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        labelCentroidsQuantized(e)
+          .withColumn("norm",
+            sqrt(aggregate(transform(col("centroid"), x => x * x),
+              lit(0.0), _ + _)))
+          .orderBy("label")
+      },
+      Some("""WITH e AS (SELECT label,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+          flat AS (SELECT label, generate_subscripts(v, 1) AS pos,
+                          unnest(v) AS x FROM e),
+          cm AS (SELECT label, pos,
+                   CAST(sum(CAST(floor(x * 1000000000.0) AS DECIMAL(38,0)))
+                        AS DOUBLE) / count(*) / 1000000000.0 AS m,
+                   count(*) AS n
+                 FROM flat GROUP BY label, pos),
+          cent AS (SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
+                          list(m ORDER BY pos) AS centroid
+                   FROM cm GROUP BY label)
+          SELECT label, n_vectors, centroid,
+            sqrt(list_aggregate(list_transform(centroid, x -> x*x), 'sum')) AS norm
+          FROM cent ORDER BY label"""),
     ),
     // scale-safe near-dup: random-hyperplane LSH bucketing, no self-join
     QueryEntry(

@@ -86,6 +86,71 @@ object TextAnalysis {
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Overlapping fixed-size token windows per document (context-window
+    * chunking): (doc_id, chunk_idx, start_token, n_chunk_tokens, chunk_md5).
+    * Pure narrow HOFs — zero shuffle; chunks leave as content hashes.
+    */
+  def docChunks(docs: org.apache.spark.sql.DataFrame,
+                chunkLen: Int, stride: Int): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        posexplode(sequence(lit(0), size(col("w")) - 1, lit(stride)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start_token"),
+        least(lit(chunkLen), size(col("w")) - col("start"))
+          .cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("w"), col("start") + 1, lit(chunkLen))))
+          .as("chunk_md5"))
+
+  /** Top-k salient terms per document by tf·N/df (TF×IDF-shaped, log-free
+    * so both engines compute bit-identical doubles). df derives from the tf
+    * frame (vocab-bounded → broadcast); per-doc top-k goes through the
+    * TopKPerKey node so the final shuffle carries ≤ docs×k rows. tf feeds
+    * BOTH the df rollup and the scoring join, and Catalyst does not reuse
+    * the exchange across the broadcast boundary (verified: two
+    * ShuffleQueryStages, two corpus scans without it) — so tf is persisted:
+    * the df branch computes it once and the scoring join reads it back,
+    * exactly the checkpoint a 100 TB pipeline would put there.
+    */
+  def termSalience(docs: org.apache.spark.sql.DataFrame,
+                   k: Int): org.apache.spark.sql.DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .where(length(col("term")) > 0)
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") * col("n_docs") / col("df").cast("double"))
+          .as("salience"))
+    graft.plans.TopKPerKey(scored, Seq(col("doc_id")),
+        Seq(col("salience").desc, col("term").asc), k)
+      .select("doc_id", "term", "tf", "df", "salience")
+  }
+
+  /** Token-budget sequence packing: batch_idx = exclusive-cumulative token
+    * count within a (lang, content-addressed shard) stratum, integer-divided
+    * by the budget. Packing is inherently sequential; sharding makes the
+    * sequences LOCAL so every window partition stays small and uniform at
+    * any corpus size (lang alone would be the low-cardinality skew case).
+    */
+  def tokenPacking(docs: org.apache.spark.sql.DataFrame,
+                   budget: Int, shardSize: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col("doc_id"), col("lang"),
+      floor(col("doc_id") / shardSize).cast("long").as("shard"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val cum = sum(col("n_tokens"))
+      .over(Window.partitionBy("lang", "shard").orderBy("doc_id"))
+    d.select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+      floor((cum - col("n_tokens")) / lit(budget)).cast("long").as("batch_idx"))
+  }
+
   private def sqlWordCount(words: String, w: String): String =
     s"len(list_filter($words, x -> x = '$w'))"
 
@@ -446,6 +511,60 @@ object TextAnalysis {
         eg AS (SELECT DISTINCT doc_id, md5(g) AS gh FROM g WHERE bucket >= 90)
         SELECT doc_id, count(*) AS n_shared FROM eg JOIN tg USING (gh)
         GROUP BY doc_id ORDER BY doc_id"""),
+    ),
+    // ---- context-window chunking (len 32, stride 24) — see [[docChunks]]
+    QueryEntry(
+      "q_doc_chunks",
+      (s, dir) => docChunks(t(s, dir, "documents"), 32, 24)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents),
+          st AS (SELECT doc_id, w, unnest(range(0, len(w), 24)) AS start FROM d)
+          SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_idx,
+            CAST(start AS BIGINT) AS start_token,
+            CAST(least(32, len(w) - start) AS BIGINT) AS n_chunk_tokens,
+            md5(array_to_string(w[start+1 : start+32], ' ')) AS chunk_md5
+          FROM st ORDER BY doc_id, chunk_idx"""),
+    ),
+    // ---- per-document salient terms (tf·N/df, log-free) — the exact
+    // rational keeps both engines bit-identical (ln is not correctly-
+    // rounded-guaranteed across libms); same monotone ranking either way.
+    // See [[termSalience]] for the shuffle shape.
+    QueryEntry(
+      "q_term_salience",
+      (s, dir) => termSalience(t(s, dir, "documents"), 3)
+        .orderBy(col("doc_id"), col("salience").desc, col("term")),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                 WHERE len(term) > 0 GROUP BY 1, 2),
+          df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          s AS (SELECT doc_id, term, tf, df,
+                  CAST(tf AS DOUBLE) * n_docs / CAST(df AS DOUBLE) AS salience
+                FROM tf JOIN df USING (term), n),
+          r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY salience DESC, term) AS rn FROM s)
+          SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+                 CAST(df AS BIGINT) AS df, salience
+          FROM r WHERE rn <= 3 ORDER BY doc_id, salience DESC, term"""),
+    ),
+    // ---- token-budget sequence packing (budget 2048, shard 1000) — batch
+    // ids are shard-local, deterministic, growth-stable; see [[tokenPacking]]
+    QueryEntry(
+      "q_token_packing",
+      (s, dir) => tokenPacking(t(s, dir, "documents"), 2048, 1000)
+        .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, lang,
+              CAST(doc_id // 1000 AS BIGINT) AS shard,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents),
+          c AS (SELECT doc_id, lang, shard, n_tokens,
+              sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id) AS cum
+            FROM d)
+          SELECT doc_id, lang, shard, n_tokens,
+            CAST((cum - n_tokens) // 2048 AS BIGINT) AS batch_idx
+          FROM c ORDER BY doc_id"""),
     ),
   )
 }

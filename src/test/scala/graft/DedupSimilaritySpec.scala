@@ -211,4 +211,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .map("%02x".format(_)).mkString
     assert(got.find(_._1 == 2L).get._3 === sig2)
   }
+
+  test("quantized centroids: exact nano-unit means, partition-order-free") {
+    import org.apache.spark.sql.functions.{col, transform => htransform}
+    // label 1: (0.5, -0.25) and (0.25, 0.75) → mean (0.375, 0.25)
+    // (all values exact in binary AND at nano-unit grain → means exact)
+    val emb = Seq(
+      (1L, 1, Seq(0.5f, -0.25f)),
+      (2L, 1, Seq(0.25f, 0.75f)),
+      (3L, 2, Seq(1.0f, 0.0f)),
+    ).toDF("vec_id", "label", "embedding")
+    val e = emb.select(col("label"),
+      htransform(col("embedding"), _.cast("double")).as("v"))
+    val got = SimilarityOps.labelCentroidsQuantized(e)
+      .orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+    assert(got(0) === ((1, 2L, Seq(0.375, 0.25))))
+    assert(got(1) === ((2, 1L, Seq(1.0, 0.0))))
+    // repartitioned input produces the identical frame (order-independent
+    // integral sums — THE property the quantization buys)
+    val got8 = SimilarityOps.labelCentroidsQuantized(e.repartition(8))
+      .orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+    assert(got8.toSeq === got.toSeq)
+  }
 }

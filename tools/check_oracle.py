@@ -20,8 +20,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
-    if isinstance(v, float):
-        return v
+    # list/array columns (numpy arrays from parquet, python lists from
+    # DuckDB) -> plain tuples so tuple equality and sorting work
+    if hasattr(v, "tolist") and not isinstance(v, (str, bytes)):
+        return tuple(norm(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
     return v
 
 
