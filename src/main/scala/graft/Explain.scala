@@ -23,7 +23,8 @@ object Explain {
       // plan (shows AQE decisions: ReusedExchange, replanned joins).
       if (n.startsWith("exec:")) {
         val df = SparkEntry.queries(n.stripPrefix("exec:"))(spark, sfDir)
-        df.collect()
+        // finalize AQE without materializing rows on the driver
+        df.write.format("noop").mode("overwrite").save()
         println(s"\n===== $n (final adaptive plan) =====")
         println(df.queryExecution.executedPlan.toString)
       } else {

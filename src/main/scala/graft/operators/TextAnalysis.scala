@@ -142,13 +142,16 @@ object TextAnalysis {
   def tokenPacking(docs: org.apache.spark.sql.DataFrame,
                    budget: Int, shardSize: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // integral `div`, not floor(x / y): exact past 2^53 and the same
+    // truncation semantics as the oracle's `//` for any sign
     val d = docs.select(col("doc_id"), col("lang"),
-      floor(col("doc_id") / shardSize).cast("long").as("shard"),
+      expr(s"CAST(doc_id div $shardSize AS BIGINT)").as("shard"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"))
     val cum = sum(col("n_tokens"))
       .over(Window.partitionBy("lang", "shard").orderBy("doc_id"))
-    d.select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
-      floor((cum - col("n_tokens")) / lit(budget)).cast("long").as("batch_idx"))
+    d.withColumn("cum_excl", cum - col("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+        expr(s"CAST(cum_excl div $budget AS BIGINT)").as("batch_idx"))
   }
 
   private def sqlWordCount(words: String, w: String): String =
