@@ -21,6 +21,7 @@ object SparkEntry {
       operators.FileParsers.entries ++
       operators.SimulationOps.entries ++
       operators.AnalyzeOps.entries ++
+      operators.GraphOps.entries ++
       sources.NmrLipidsSource.entries ++
       plans.TopKPerKey.entries ++
       streaming.StreamQueries.entries ++

@@ -154,6 +154,28 @@ object TextAnalysis {
         expr(s"CAST(cum_excl div $budget AS BIGINT)").as("batch_idx"))
   }
 
+  /** Capped inverted index: term → document frequency + the first `k`
+    * postings (doc_ids ascending). The presence set (DISTINCT doc, term) is
+    * persisted so ONE corpus scan feeds both the df rollup and the posting
+    * lists, and the postings go through TopKPerKey, which prunes map-side —
+    * the collect_list is bounded by k, never by a common term's full df
+    * (the posting-list skew case at corpus scale).
+    */
+  def invertedIndex(docs: org.apache.spark.sql.DataFrame,
+                    k: Int): org.apache.spark.sql.DataFrame = {
+    val presence = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .where(length(col("term")) > 0)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = presence.groupBy("term").agg(count(lit(1)).as("df"))
+    val postings = graft.plans.TopKPerKey(presence, Seq(col("term")),
+        Seq(col("doc_id").asc), k)
+      .groupBy("term")
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+    df.join(postings, "term")
+  }
+
   private def sqlWordCount(words: String, w: String): String =
     s"len(list_filter($words, x -> x = '$w'))"
 
@@ -551,6 +573,19 @@ object TextAnalysis {
           SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
                  CAST(df AS BIGINT) AS df, salience
           FROM r WHERE rn <= 3 ORDER BY doc_id, salience DESC, term"""),
+    ),
+    // ---- capped inverted index (postings k=5) — see [[invertedIndex]]
+    QueryEntry(
+      "q_inverted_index",
+      (s, dir) => invertedIndex(t(s, dir, "documents"), 5).orderBy("term"),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+          tf AS (SELECT DISTINCT doc_id, term FROM tok WHERE len(term) > 0),
+          df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          p AS (SELECT term, list(doc_id ORDER BY doc_id)[1:5] AS postings
+                FROM tf GROUP BY 1)
+          SELECT term, df, postings FROM df JOIN p USING (term)
+          ORDER BY term"""),
     ),
     // ---- token-budget sequence packing (budget 2048, shard 1000) — batch
     // ids are shard-local, deterministic, growth-stable; see [[tokenPacking]]
