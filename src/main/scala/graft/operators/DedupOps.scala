@@ -111,11 +111,13 @@ object DedupOps {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** MinHash LSH candidate pairs: signature → bands → explode → bucket join.
-    * At scale this is the only shuffle (on the band hash); the quadratic
-    * pair generation happens per bucket.
+  /** Banded MinHash signatures: one (doc, band_idx, band_hash) row per LSH
+    * band — the narrow, codegen'd frame every LSH consumer keys on. At
+    * 100 TB this is the table an indexed corpus persists (bucketed by
+    * (band_idx, band_hash)) so that incremental deltas join against it
+    * without re-signing the corpus.
     */
-  def minhashCandidatePairs(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def bandedSignatures(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val sh = shingles(col(textCol))
     val withSig = docs.filter(size(sh) > 0)
       .select(col(idCol).as("doc"),
@@ -125,8 +127,16 @@ object DedupOps {
         element_at(col("sig"), b * BandRows + r + 1))
       struct(lit(b).as("band_idx"), md5(concat(parts: _*)).as("band_hash"))
     }
-    val exploded = withSig.select(col("doc"), explode(array(bands: _*)).as("band"))
+    withSig.select(col("doc"), explode(array(bands: _*)).as("band"))
       .select(col("doc"), col("band.band_idx"), col("band.band_hash"))
+  }
+
+  /** MinHash LSH candidate pairs: signature → bands → explode → bucket join.
+    * At scale this is the only shuffle (on the band hash); the quadratic
+    * pair generation happens per bucket.
+    */
+  def minhashCandidatePairs(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val exploded = bandedSignatures(docs, textCol, idCol)
     // ONE shuffle: bucket docs by band, emit i<j pairs inside each bucket
     // via codegen'd higher-order functions. A band self-join would instead
     // recompute the whole signature pipeline on both sides and shuffle it
@@ -141,6 +151,39 @@ object DedupOps {
     docsInBucket.select(explode(pairs).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
+  }
+
+  /** Incremental near-dup detection — the continuous-crawl shape: each new
+    * delta of documents is checked against the already-indexed corpus, not
+    * against itself. Split is content-addressed ([[TextAnalysis.splitBucket]]:
+    * bucket ≥ 90 = incoming delta, < 90 = indexed corpus). The delta's
+    * banded signatures equi-join the corpus's on (band_idx, band_hash) —
+    * at 100 TB the corpus side is the PERSISTED [[bandedSignatures]] table
+    * bucketed on that key, so the delta probe touches only matching
+    * buckets and the corpus is never re-signed; exact Jaccard runs only on
+    * the surviving candidate pairs (near-linear in the true dup count).
+    */
+  def incrementalNearDup(docs: DataFrame, threshold: Double): DataFrame = {
+    val withB = docs.select(col("doc_id"), col("text"),
+      TextAnalysis.splitBucket.as("bucket"))
+    val nb = bandedSignatures(withB.filter(col("bucket") >= 90), "text", "doc_id")
+    val ob = bandedSignatures(withB.filter(col("bucket") < 90), "text", "doc_id")
+    val cand = nb.select(col("doc").as("new_doc"), col("band_idx"), col("band_hash"))
+      .join(ob.select(col("doc").as("dup_of"), col("band_idx"), col("band_hash")),
+        Seq("band_idx", "band_hash"))
+      .select(col("new_doc"), col("dup_of")).distinct()
+    val d = docs.select(col("doc_id"),
+        array_distinct(shingles(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    cand
+      .join(d.select(col("doc_id").as("new_doc"), col("sh").as("sh_a")), "new_doc")
+      .join(d.select(col("doc_id").as("dup_of"), col("sh").as("sh_b")), "dup_of")
+      .select(col("new_doc"), col("dup_of"),
+        (inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Guard for the deliberately-quadratic small-scale reference twins
@@ -335,6 +378,47 @@ object DedupOps {
               CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
               >= 0.5
             ORDER BY doc_a, doc_b"""
+      },
+    ),
+    // ---- incremental near-dup: delta vs indexed corpus --------------------
+    // see [[incrementalNearDup]] for the continuous-crawl scale shape
+    QueryEntry(
+      "q_incremental_neardup",
+      (s, dir) => incrementalNearDup(t(s, dir, "documents"), 0.5)
+        .orderBy("new_doc", "dup_of"),
+      Some {
+        val sh = sqlShingles("text")
+        val sigCols = (0 until NumHashes)
+          .map(i => s"${sqlMinhashSig(sh, i)} AS sig_$i").mkString(", ")
+        val bandCols = (0 until NumHashes / BandRows).map { b =>
+          val parts = (0 until BandRows).map(r => s"sig_${b * BandRows + r}")
+          s"md5(${parts.mkString(" || ")}) AS band_$b"
+        }.mkString(", ")
+        val bandUnion = (0 until NumHashes / BandRows)
+          .map(b => s"SELECT doc_id AS doc, bucket, $b AS band_idx, " +
+            s"band_$b AS band_hash FROM sigs")
+          .mkString(" UNION ALL ")
+        s"""WITH b AS (SELECT doc_id, text,
+              CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 100
+                AS bucket FROM documents),
+            raw AS (SELECT doc_id, bucket, $sigCols FROM b
+                    WHERE len(string_split(text,' ')) >= $ShingleSize),
+            sigs AS (SELECT doc_id, bucket, $bandCols FROM raw),
+            bands AS ($bandUnion),
+            cand AS (SELECT DISTINCT n.doc AS new_doc, o.doc AS dup_of
+                     FROM bands n JOIN bands o
+                       ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+                     WHERE n.bucket >= 90 AND o.bucket < 90),
+            d AS (SELECT doc_id, list_distinct($sh) AS sh FROM documents
+                  WHERE len(string_split(text,' ')) >= $ShingleSize),
+            j AS (SELECT c.new_doc, c.dup_of,
+                    CAST(len(list_intersect(a.sh, o.sh)) AS DOUBLE) /
+                    CAST(len(a.sh) + len(o.sh) - len(list_intersect(a.sh, o.sh))
+                         AS DOUBLE) AS jaccard
+                  FROM cand c JOIN d a ON a.doc_id = c.new_doc
+                              JOIN d o ON o.doc_id = c.dup_of)
+            SELECT new_doc, dup_of, jaccard FROM j WHERE jaccard >= 0.5
+            ORDER BY new_doc, dup_of"""
       },
     ),
     // ---- near-dup CLUSTERS: connected components over LSH pairs -----------

@@ -212,6 +212,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.find(_._1 == 2L).get._3 === sig2)
   }
 
+  test("incremental near-dup: delta docs matched against the index only") {
+    // content-addressed buckets: doc 2, 12 land >= 90 (incoming delta);
+    // 1, 3, 4 land < 90 (indexed corpus)
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),   // indexed
+      (2L, "the quick brown fox jumps over the lazy dog"),   // delta dup of 1
+      (12L, "the quick brown fox jumps over the sleepy dog"), // delta near-dup of 1
+      (3L, "completely different words entirely here now friends"), // indexed
+      (4L, "the quick brown fox jumps over the lazy dog"),   // indexed dup of 1
+    ).toDF("doc_id", "text")
+    val got = DedupOps.incrementalNearDup(corpus, 0.5)
+      .orderBy("new_doc", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // delta 2 matches BOTH indexed copies (1 and 4), never indexed 3 and
+    // never another delta doc; near-dup 12 survives the 0.5 threshold
+    assert(got.map(t => (t._1, t._2)).toSeq ===
+      Seq((2L, 1L), (2L, 4L), (12L, 1L), (12L, 4L)))
+    assert(got.filter(_._1 == 2L).forall(_._3 === 1.0))
+    assert(got.filter(_._1 == 12L).forall(t => t._3 > 0.5 && t._3 < 1.0))
+  }
+
   test("quantized centroids: exact nano-unit means, partition-order-free") {
     import org.apache.spark.sql.functions.{col, transform => htransform}
     // label 1: (0.5, -0.25) and (0.25, 0.75) → mean (0.375, 0.25)
