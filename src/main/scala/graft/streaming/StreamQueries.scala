@@ -208,5 +208,84 @@ object StreamQueries {
           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
         FROM b GROUP BY 1, 2 ORDER BY 1, 2"""),
     ),
+
+    // ---- stateful gap sessionization through the real engine ---------------
+    // The third canonical streaming op: 30-min-gap sessions per user via
+    // flatMapGroupsWithState with event-time timeouts
+    // ([[StreamingSessionize]]), replayed weekly in event-time order. The
+    // oracle is the BATCH sessionizer's SQL verbatim — the stream must
+    // reproduce the batch rollups (ordinals, decimal-exact sums) exactly.
+    // A far-future sentinel (user -1) advances the watermark so every real
+    // user's open session times out and Append emits it; sentinel output
+    // is excluded by TIME (its session starts a year past max real ts —
+    // and it can't emit anyway, the watermark never passes it).
+    QueryEntry(
+      "q_stream_sessionize_replay",
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import StreamingSessionize.{SessionEvent, SessionRow}
+        val rows = Tables.t(s, dir, "events")
+          .select(col("ts").cast("timestamp"), col("user_id"),
+            col("event_id"), col("value").cast("double"))
+          .collect()
+          .map(r => SessionEvent(r.getTimestamp(0), r.getLong(1),
+            r.getLong(2), r.getDouble(3)))
+        if (rows.isEmpty) {
+          s.createDataset(Seq.empty[SessionRow]).toDF()
+        } else {
+          val weekMs = 7L * 86400000L
+          val batches = rows.groupBy(e => e.ts.getTime / weekMs)
+            .toSeq.sortBy(_._1).map(_._2.toSeq)
+          val maxRealMs = rows.map(_.ts.getTime).max
+          val flush = SessionEvent(
+            new Timestamp(maxRealMs + 52L * weekMs), -1L, 0L, 0.0)
+
+          val mem = MemoryStream[SessionEvent]
+          val sinkName = "q_stream_sessionize_replay_sink"
+          s.catalog.dropTempView(sinkName)
+          val q = withStreamParts(s) {
+            StreamingSessionize.sessionizeStream(mem.toDS())
+              .writeStream.format("memory").queryName(sinkName)
+              .option("checkpointLocation", checkpointDir())
+              .outputMode("append").start()
+          }
+          val out =
+            try {
+              batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+              mem.addData(Seq(flush))
+              q.processAllAvailable()
+              s.table(sinkName).collect().map(r => SessionRow(r.getLong(0),
+                r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+                r.getDouble(5), r.getLong(6)))
+            } finally {
+              q.stop()
+              s.catalog.dropTempView(sinkName)
+            }
+          s.createDataset(out.toSeq.filter(_.start_us <= maxRealMs * 1000L + 999L))
+            .toDF()
+            .orderBy("user_id", "session_id")
+        }
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+              FROM events),
+            f AS (SELECT *,
+              CASE WHEN lag(ts_us) OVER w IS NULL
+                     OR ts_us - lag(ts_us) OVER w > 1800000000
+                   THEN 1 ELSE 0 END AS new_session
+              FROM e WINDOW w AS (PARTITION BY user_id
+                ORDER BY ts_us, event_id)),
+            g AS (SELECT *,
+              CAST(sum(new_session) OVER (PARTITION BY user_id
+                ORDER BY ts_us, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM f)
+          SELECT user_id, session_id, count(*) AS n_events,
+            min(ts_us) AS start_us, max(ts_us) AS end_us,
+            CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+            max(ts_us) - min(ts_us) AS duration_us
+          FROM g GROUP BY user_id, session_id
+          ORDER BY user_id, session_id"""),
+    ),
   )
 }
