@@ -468,6 +468,82 @@ object DedupOps {
             FROM reach GROUP BY id ORDER BY doc_id"""
       },
     ),
+    // ---- canonical representative per near-dup cluster ---------------------
+    // The dedup pipeline's final decision: keep the highest-quality doc of
+    // each cluster (tie → lowest id). Rides the memoized/checkpointed
+    // cluster frame (computed once per session); quality is the
+    // q_quality_score formula ([[TextAnalysis.qualityExpr]]); the per-
+    // cluster argmax goes through TopKPerKey(k=1), so the final shuffle
+    // carries one row per cluster — never a per-cluster sort of members.
+    QueryEntry(
+      "q_cluster_representatives",
+      (s, dir) => {
+        val comp = clustersFor(s, dir)
+        val qd = t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.qualityExpr(col("text")).as("quality"))
+        val reps = graft.plans.TopKPerKey(comp.join(qd, "doc_id"),
+            Seq(col("component")),
+            Seq(col("quality").desc, col("doc_id").asc), 1)
+          .select(col("component"), col("doc_id").as("rep_doc_id"),
+            col("quality").as("rep_quality"))
+        comp.groupBy("component").agg(count(lit(1)).as("n_members"))
+          .join(reps, "component")
+          .select(col("component"), col("n_members"),
+            col("rep_doc_id"), col("rep_quality"))
+          .orderBy("component")
+      },
+      Some {
+        val sh = sqlShingles("text")
+        val sigCols = (0 until NumHashes)
+          .map(i => s"${sqlMinhashSig(sh, i)} AS sig_$i").mkString(", ")
+        val bandCols = (0 until NumHashes / BandRows).map { b =>
+          val parts = (0 until BandRows).map(r => s"sig_${b * BandRows + r}")
+          s"md5(${parts.mkString(" || ")}) AS band_$b"
+        }.mkString(", ")
+        val bandUnion = (0 until NumHashes / BandRows)
+          .map(b => s"SELECT doc_id AS doc, $b AS band_idx, band_$b AS band_hash FROM sigs")
+          .mkString(" UNION ALL ")
+        val w = "string_split(text, ' ')"
+        val lw = "string_split(lower(text), ' ')"
+        val stop = Seq("the", "and", "of", "a", "is")
+          .map(t => s"len(list_filter($lw, x -> x = '$t'))")
+          .mkString("(", " + ", ")")
+        val quality =
+          s"""0.5 * least(CAST($stop AS DOUBLE) / CAST(len($w) AS DOUBLE) * 5.0, 1.0)
+            + 0.3 * least(CAST(len($w) AS DOUBLE) / 100.0, 1.0)
+            + 0.2 * (1.0 - least(
+                CAST(len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                / CAST(len(text) AS DOUBLE) * 10.0, 1.0))"""
+        s"""WITH RECURSIVE raw AS (
+              SELECT doc_id, $sigCols FROM documents
+              WHERE len(string_split(text,' ')) >= $ShingleSize),
+            sigs AS (SELECT doc_id, $bandCols FROM raw),
+            bands AS ($bandUnion),
+            cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+               AND a.doc < b.doc),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                      UNION SELECT doc_b, doc_a FROM cand),
+            reach(id, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.src, reach.r FROM edges e
+              JOIN reach ON reach.id = e.dst),
+            comp AS (SELECT id AS doc_id, min(r) AS component
+                     FROM reach GROUP BY id),
+            qd AS (SELECT doc_id, $quality AS quality FROM documents),
+            scored AS (SELECT c.component, c.doc_id, q.quality,
+                row_number() OVER (PARTITION BY c.component
+                  ORDER BY q.quality DESC, c.doc_id) AS rn
+              FROM comp c JOIN qd q USING (doc_id)),
+            sz AS (SELECT component, count(*) AS n_members FROM comp GROUP BY 1)
+            SELECT s.component, z.n_members, s.doc_id AS rep_doc_id,
+                   s.quality AS rep_quality
+            FROM scored s JOIN sz z USING (component)
+            WHERE s.rn = 1 ORDER BY s.component"""
+      },
+    ),
     // ---- C4-style corpus-level paragraph dedup (first occurrence wins) ----
     // Each document splits into fixed 8-word "paragraph" chunks (the last
     // chunk may be shorter); a paragraph survives only at its FIRST corpus

@@ -86,6 +86,26 @@ object TextAnalysis {
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
   }
 
+  /** The `q_quality_score` formula as one expression over a text column
+    * (same operation order, so the doubles are bit-identical): weighted
+    * stopword-ratio, length and punctuation terms. Reused by the cluster-
+    * representative selection.
+    */
+  def qualityExpr(text: Column): Column = {
+    val words = split(text, " ")
+    val nTokens = size(words).cast("double")
+    val stopCount = profiles.toMap.apply("en")
+      .map(wordCount(split(lower(text), " "), _)).reduce(_ + _)
+      .cast("double")
+    val nonAlnum = (length(text) -
+      length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))).cast("double")
+    val stopwordRatio = stopCount / nTokens
+    val punctRatio = nonAlnum / length(text).cast("double")
+    lit(0.5) * least(stopwordRatio * 5.0, lit(1.0)) +
+      lit(0.3) * least(size(words).cast("long").cast("double") / 100.0, lit(1.0)) +
+      lit(0.2) * (lit(1.0) - least(punctRatio * 10.0, lit(1.0)))
+  }
+
   /** Overlapping fixed-size token windows per document (context-window
     * chunking): (doc_id, chunk_idx, start_token, n_chunk_tokens, chunk_md5).
     * Pure narrow HOFs — zero shuffle; chunks leave as content hashes.

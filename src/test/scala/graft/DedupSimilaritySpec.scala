@@ -233,6 +233,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.filter(_._1 == 12L).forall(t => t._3 > 0.5 && t._3 < 1.0))
   }
 
+  test("cluster representatives: argmax quality per component, sizes total") {
+    val sf = "/root/testdata/sf0.001"
+    val reps = SparkEntry.queries("q_cluster_representatives")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val comp = SparkEntry.queries("q_dedup_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))) // (doc, component)
+    val quality = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.qualityExpr(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // one rep per component; member counts total the corpus
+    assert(reps.map(_._1).distinct.length === reps.length)
+    assert(reps.map(_._2).sum === comp.length)
+    // the rep IS a member and has the max quality (ties -> lowest id)
+    val members = comp.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    reps.foreach { case (c, _, rep, rq) =>
+      assert(members(c).contains(rep))
+      val best = members(c).map(d => (-quality(d), d)).min
+      assert(rep === best._2 && rq === quality(rep))
+    }
+  }
+
   test("quantized centroids: exact nano-unit means, partition-order-free") {
     import org.apache.spark.sql.functions.{col, transform => htransform}
     // label 1: (0.5, -0.25) and (0.25, 0.75) → mean (0.375, 0.25)
