@@ -36,6 +36,9 @@ object QueryProbe {
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir).count()
         samples(n) = samples(n) :+ (System.nanoTime() - t0) / 1e9
+        // release any intra-query persists OUTSIDE the timing (Bench's
+        // rule) so rep N+1 measures the real plan, not a cache read
+        spark.catalog.clearCache()
       }
     }
     val fields = args.map { n =>
