@@ -186,6 +186,54 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Deterministic HyperLogLog-shaped cardinality sketch: md5-derived
+    * registers (bucket = first md5 byte, rank = leading-zero bits of the
+    * rest + 1, 256 registers) so BOTH engines reproduce the sketch
+    * byte-for-byte — unlike `approx_count_distinct`, whose engine-internal
+    * hashing can never be oracle-checked. Scale shape: the register build
+    * is ONE partial-agg'd shuffle of ≤256 (bucket, max-rank) rows per
+    * partition regardless of input size — the standard way distinct-URL /
+    * distinct-n-gram cardinality is tracked at 10^10 scale without an
+    * exact distinct. The harmonic sum folds over the bucket-sorted
+    * register array (order-pinned: 256 tiny doubles), and the estimate is
+    * emitted RAW (no log-based small-range correction — `ln` is not
+    * correctly-rounded-guaranteed across libms; callers in the small
+    * regime should use the exact distinct, which the entry emits
+    * alongside for the error check).
+    */
+  def hllSketch(values: DataFrame): DataFrame = {
+    val h = md5(col("t"))
+    val b = conv(substring(h, 1, 2), 16, 10).cast("int")
+    val rest = substring(h, 3, 30)
+    val zl = length(regexp_extract(rest, "^0*", 0))
+    val fd = rest.substr(zl + 1, lit(1))
+    val nibz = when(fd === "1", 3)
+      .when(fd.isin("2", "3"), 2)
+      .when(fd.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    val rank = when(zl === 30, lit(121)).otherwise(zl * 4 + nibz + 1)
+    val reg = values.select(b.as("b"), rank.as("r"))
+      .groupBy("b").agg(max(col("r")).as("m"))
+    val inv = reg.select(col("b"),
+      (lit(1.0) /
+        expr("CAST(shiftleft(CAST(1 AS BIGINT), least(m, 62)) AS DOUBLE)"))
+        .as("iv"))
+    val roll = inv.agg(count(lit(1)).as("present"),
+      aggregate(
+        transform(array_sort(collect_list(struct(col("b"), col("iv")))),
+          s => s.getField("iv")),
+        lit(0.0), _ + _).as("fold"))
+    val exact = values.agg(countDistinct(col("t")).as("exact_distinct"))
+    val sumInv = col("fold") + (lit(256) - col("present")) * lit(1.0)
+    exact.crossJoin(broadcast(roll))
+      .select(col("exact_distinct"),
+        lit(256L).as("n_registers"),
+        (lit(256L) - col("present")).as("n_zero_registers"),
+        sumInv.as("sum_inv"),
+        ((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) * lit(65536.0) /
+          sumInv).as("hll_estimate"))
+  }
+
   /** Guard for the deliberately-quadratic small-scale reference twins
     * (`q_ngram_jaccard`, `q_embedding_neardup`): measures the largest
     * block BEFORE the within-block self-join is allowed to run and
@@ -466,6 +514,50 @@ object DedupOps {
               JOIN reach ON reach.id = e.dst)
             SELECT id AS doc_id, min(r) AS component
             FROM reach GROUP BY id ORDER BY doc_id"""
+      },
+    ),
+    // ---- deterministic HLL cardinality sketch over corpus 3-grams ----------
+    // see [[hllSketch]]; exact distinct emitted alongside as the error
+    // baseline (sketch lands within ~1.04/√256 ≈ 6.5% of it)
+    QueryEntry(
+      "q_approx_distinct",
+      (s, dir) => hllSketch(
+        t(s, dir, "documents")
+          .select(explode(shingles(col("text"))).as("t"))),
+      Some {
+        val sh = sqlShingles("text")
+        s"""WITH tok AS (SELECT unnest($sh) AS t FROM documents
+              WHERE len(string_split(text,' ')) >= $ShingleSize),
+            tv AS (SELECT t, md5(t) AS h FROM tok),
+            rr AS (SELECT
+                CAST(('0x' || substr(h, 1, 2)) AS INTEGER) AS b,
+                length(regexp_extract(substr(h, 3, 30), '^0*')) AS zlen,
+                substr(h, 3 + length(regexp_extract(substr(h, 3, 30), '^0*')), 1) AS fd
+              FROM tv),
+            rk AS (SELECT b,
+                CASE WHEN zlen = 30 THEN 121
+                     ELSE zlen * 4 +
+                       (CASE WHEN fd = '1' THEN 3
+                             WHEN fd IN ('2','3') THEN 2
+                             WHEN fd IN ('4','5','6','7') THEN 1
+                             ELSE 0 END) + 1 END AS r
+              FROM rr),
+            reg AS (SELECT b, max(r) AS m FROM rk GROUP BY b),
+            inv AS (SELECT b,
+                1e0 / CAST((CAST(1 AS BIGINT) << least(m, 62)) AS DOUBLE) AS iv
+              FROM reg),
+            roll AS (SELECT CAST(count(*) AS BIGINT) AS present,
+                list_aggregate(list(iv ORDER BY b), 'sum') AS f
+              FROM inv),
+            ex AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS exact_distinct
+              FROM tok)
+            SELECT ex.exact_distinct,
+              CAST(256 AS BIGINT) AS n_registers,
+              CAST(256 - roll.present AS BIGINT) AS n_zero_registers,
+              roll.f + (256 - roll.present) * 1e0 AS sum_inv,
+              (0.7213e0 / (1e0 + 1.079e0 / 256e0)) * 65536e0
+                / (roll.f + (256 - roll.present) * 1e0) AS hll_estimate
+            FROM roll, ex"""
       },
     ),
     // ---- canonical representative per near-dup cluster ---------------------

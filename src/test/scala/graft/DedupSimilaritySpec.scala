@@ -233,6 +233,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.filter(_._1 == 12L).forall(t => t._3 > 0.5 && t._3 < 1.0))
   }
 
+  test("hll sketch: accuracy, multiset-invariance, partition-order-free") {
+    val vals = (1 to 20000).map(i => s"value-$i").toDF("t")
+    val row = DedupOps.hllSketch(vals).collect()(0)
+    val (exact, est) = (row.getLong(0), row.getDouble(4))
+    assert(exact === 20000L)
+    assert(math.abs(est - exact) / exact < 0.1,
+      s"HLL estimate $est should be within 10% of $exact (σ ≈ 6.5%)")
+    // duplicates change NOTHING (register max is multiset-invariant on
+    // the estimate side; only exact_distinct re-counts)
+    val dup = DedupOps.hllSketch(
+      vals.union(vals.limit(5000)).repartition(9)).collect()(0)
+    assert(dup.getDouble(4) === est)
+    assert(dup.getDouble(3) === row.getDouble(3))
+    assert(dup.getLong(0) === 20000L)
+  }
+
   test("cluster representatives: argmax quality per component, sizes total") {
     val sf = "/root/testdata/sf0.001"
     val reps = SparkEntry.queries("q_cluster_representatives")(spark, sf)
