@@ -153,6 +153,32 @@ object DedupOps {
       .distinct()
   }
 
+  /** Directed Broder containment on the MinHash-LSH candidate set: for each
+    * candidate pair, |A∩B|/|A| and |A∩B|/|B| over distinct word-shingle
+    * sets, keeping pairs where either direction reaches `threshold`.
+    * Resemblance (Jaccard) misses a short doc embedded verbatim in a long
+    * one — the union denominator swamps it; containment is the standard
+    * detector for that quote/boilerplate case. Same scale shape as
+    * [[minhashCandidatePairs]] + shingle join-back: never all-pairs.
+    */
+  def containmentOnCandidates(docs: DataFrame, threshold: Double): DataFrame = {
+    val pairs = minhashCandidatePairs(docs, "text", "doc_id")
+    val d = docs
+      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    pairs
+      .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast("double") / size(col("sh_a")).cast("double"))
+          .as("contain_a_in_b"),
+        (inter.cast("double") / size(col("sh_b")).cast("double"))
+          .as("contain_b_in_a"))
+      .filter(greatest(col("contain_a_in_b"), col("contain_b_in_a"))
+        >= threshold)
+  }
+
   /** Incremental near-dup detection — the continuous-crawl shape: each new
     * delta of documents is checked against the already-indexed corpus, not
     * against itself. Split is content-addressed ([[TextAnalysis.splitBucket]]:
@@ -425,6 +451,56 @@ object DedupOps {
             WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
               CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
               >= 0.5
+            ORDER BY doc_a, doc_b"""
+      },
+    ),
+    // ---- directed containment over LSH candidates --------------------------
+    // Broder containment |A∩B|/|A| (and the mirror |A∩B|/|B|) on the same
+    // candidate set as q_jaccard_lsh: resemblance misses a short doc
+    // embedded verbatim in a long one (the quote/boilerplate case — union
+    // dominates the ratio); containment is the detector for it. Same scale
+    // shape as the Jaccard flagship: ONE band shuffle for candidates, then
+    // the pair list joins back to the shingle sets — never all-pairs. The
+    // emitted ratios are exact int/int IEEE divisions.
+    QueryEntry(
+      "q_containment",
+      (s, dir) => containmentOnCandidates(t(s, dir, "documents"), 0.5)
+        .orderBy("doc_a", "doc_b"),
+      Some {
+        val sh = sqlShingles("text")
+        val sigCols = (0 until NumHashes)
+          .map(i => s"${sqlMinhashSig(sh, i)} AS sig_$i").mkString(", ")
+        val bandCols = (0 until NumHashes / BandRows).map { b =>
+          val parts = (0 until BandRows).map(r => s"sig_${b * BandRows + r}")
+          s"md5(${parts.mkString(" || ")}) AS band_$b"
+        }.mkString(", ")
+        val bandUnion = (0 until NumHashes / BandRows)
+          .map(b => s"SELECT doc_id AS doc, $b AS band_idx, band_$b AS band_hash FROM sigs")
+          .mkString(" UNION ALL ")
+        s"""WITH raw AS (
+              SELECT doc_id, $sigCols FROM documents
+              WHERE len(string_split(text,' ')) >= $ShingleSize),
+            sigs AS (SELECT doc_id, $bandCols FROM raw),
+            bands AS ($bandUnion),
+            cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+               AND a.doc < b.doc),
+            d AS (SELECT doc_id, list_distinct($sh) AS sh FROM documents
+                  WHERE len(string_split(text,' ')) >= $ShingleSize)
+            SELECT c.doc_a, c.doc_b,
+              CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / CAST(len(a.sh) AS DOUBLE) AS contain_a_in_b,
+              CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / CAST(len(b.sh) AS DOUBLE) AS contain_b_in_a
+            FROM cand c
+            JOIN d a ON a.doc_id = c.doc_a
+            JOIN d b ON b.doc_id = c.doc_b
+            WHERE greatest(
+                CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / CAST(len(a.sh) AS DOUBLE),
+                CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / CAST(len(b.sh) AS DOUBLE)) >= 0.5e0
             ORDER BY doc_a, doc_b"""
       },
     ),

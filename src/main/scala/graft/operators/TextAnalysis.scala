@@ -196,6 +196,105 @@ object TextAnalysis {
     df.join(postings, "term")
   }
 
+  /** BM25 relevance scores (k1=1.2, b=0.75) for a fixed query-term set,
+    * with the log-free rational IDF `(N - df + 0.5)/(df + 0.5)` — a strictly
+    * monotone transform of the textbook `ln(1 + ...)` form that keeps both
+    * engines bit-identical (ln is not correctly-rounded across libms; the
+    * IEEE +,-,*,/ used here are). One row per document containing at least
+    * one query term. Scale shape: tf is one partial-agg'd shuffle FILTERED
+    * to the query terms before the shuffle (carries ≤ docs×|q| rows); df
+    * and the corpus stats are broadcast one-row/vocab-bounded frames; the
+    * per-doc score is a fixed-order sum over the pivoted term weights, so
+    * no double ever crosses an order-dependent aggregate.
+    */
+  def bm25(docs: org.apache.spark.sql.DataFrame,
+           terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .where(length(col("term")) > 0)
+    // dl feeds BOTH the corpus-stats agg and the scoring join; Catalyst
+    // does not reuse the exchange across the 1-row crossJoin boundary
+    // (same finding as termSalience), so pin it
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val st = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val tf = tok.where(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
+    val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val tfD = col("tf").cast("double")
+    val weight = idf * ((tfD * lit(2.2)) /
+      (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))))
+    val w = tf.join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .select(col("doc_id"), col("term"), weight.as("weight"))
+    val byTerm = w.groupBy("doc_id").pivot("term", terms).agg(first(col("weight")))
+    val score = terms.map(t => coalesce(col(s"`$t`"), lit(0.0))).reduce(_ + _)
+    byTerm.select(col("doc_id"), score.as("bm25"))
+  }
+
+  /** Count-min-sketch frequency estimation: depth×width counter grid keyed
+    * by salted md5 buckets, estimate = min over depths. THE bounded-state
+    * frequency operator at corpus scale — the sketch shuffle carries at most
+    * depth×width rows per partition after map-side combine, regardless of
+    * vocabulary size, where an exact token groupBy shuffles the full vocab.
+    * Returns (token, exact_count, cms_estimate) for the exact top-`k`
+    * tokens so over-estimation from bucket collisions is visible against
+    * ground truth (estimate ≥ exact always; equality iff no collision in
+    * some depth). md5 bucketing keeps the oracle bit-reproducible.
+    */
+  def cmsHeavyHitters(docs: org.apache.spark.sql.DataFrame,
+                      depth: Int, width: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    def bucket(j: Column, token: Column): Column = pmod(
+      conv(substring(md5(concat(j.cast("string"), lit(":"), token)), 1, 8),
+        16, 10).cast("long"), lit(width.toLong))
+    val tok = docs.select(explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+    val cells = tok.select(explode(transform(
+        sequence(lit(0), lit(depth - 1)),
+        j => struct(j.cast("long").as("depth"),
+          bucket(j, col("token")).as("bucket")))).as("c"))
+      .select(col("c.depth").as("depth"), col("c.bucket").as("bucket"))
+    val sketch = cells.groupBy("depth", "bucket").agg(count(lit(1)).as("n"))
+    val top = tok.groupBy("token").agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("token").asc).limit(k)
+    val cand = top
+      .select(col("token"), col("exact_count"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .select(col("token"), col("exact_count"),
+        col("j").cast("long").as("depth"), bucket(col("j"), col("token")).as("bucket"))
+    cand.join(broadcast(sketch), Seq("depth", "bucket"))
+      .groupBy("token", "exact_count").agg(min(col("n")).as("cms_estimate"))
+  }
+
+  /** Per-document out-of-vocabulary rate against the corpus's own top-`k`
+    * token vocabulary — the tokenizer-coverage check before committing a
+    * vocab. The vocab is a bounded broadcast (top-k of a partial-agg'd
+    * frequency shuffle); membership is a broadcast left join; the per-doc
+    * rollup is count-based (no double sums), so the emitted rate is an
+    * exact int/int IEEE division both engines reproduce bit-identically.
+    */
+  def oovRate(docs: org.apache.spark.sql.DataFrame,
+              vocabK: Int): org.apache.spark.sql.DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc).limit(vocabK)
+      .select(col("token"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        count(col("in_vocab")).as("n_in_vocab"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - col("n_in_vocab")).as("n_oov"),
+        ((col("n_tokens") - col("n_in_vocab")).cast("double") /
+          col("n_tokens").cast("double")).as("oov_rate"))
+  }
+
   private def sqlWordCount(words: String, w: String): String =
     s"len(list_filter($words, x -> x = '$w'))"
 
@@ -623,6 +722,82 @@ object TextAnalysis {
           SELECT doc_id, lang, shard, n_tokens,
             CAST((cum - n_tokens) // 2048 AS BIGINT) AS batch_idx
           FROM c ORDER BY doc_id"""),
+    ),
+    // ---- BM25 relevance over a fixed query (log-free rational IDF) --------
+    // see [[bm25]] for the scale shape and the bit-identical-doubles design
+    QueryEntry(
+      "q_bm25",
+      (s, dir) => bm25(t(s, dir, "documents"), Seq("hash", "join", "scan"))
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+            FROM documents),
+          tk AS (SELECT doc_id, term FROM tok WHERE len(term) > 0),
+          dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+          st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl
+                 FROM dl),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM tk
+                 WHERE term IN ('hash', 'join', 'scan') GROUP BY 1, 2),
+          df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          w AS (SELECT tf.doc_id, tf.term,
+              ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5e0)
+                / (CAST(df AS DOUBLE) + 0.5e0))
+              * ((CAST(tf AS DOUBLE) * 2.2e0)
+                / (CAST(tf AS DOUBLE) + 1.2e0 * (0.25e0 + 0.75e0
+                    * (CAST(dl AS DOUBLE)
+                       / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+                AS weight
+            FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st)
+          SELECT doc_id,
+            coalesce(max(CASE WHEN term = 'hash' THEN weight END), 0e0)
+            + coalesce(max(CASE WHEN term = 'join' THEN weight END), 0e0)
+            + coalesce(max(CASE WHEN term = 'scan' THEN weight END), 0e0)
+              AS bm25
+          FROM w GROUP BY doc_id ORDER BY doc_id"""),
+    ),
+    // ---- count-min-sketch frequency estimates vs ground truth -------------
+    // depth 4 × width 16 (width deliberately small so collisions — and the
+    // estimator's over-count — are exercised); see [[cmsHeavyHitters]]
+    QueryEntry(
+      "q_cms_heavy_hitters",
+      (s, dir) => cmsHeavyHitters(t(s, dir, "documents"), 4, 16, 20)
+        .orderBy("token"),
+      Some("""WITH tok AS (SELECT unnest(string_split(text,' ')) AS token
+            FROM documents),
+          tk AS (SELECT token FROM tok WHERE len(token) > 0),
+          cells AS (SELECT j,
+              CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 8))
+                AS BIGINT) % 16 AS bucket
+            FROM tk, UNNEST([0, 1, 2, 3]) AS u(j)),
+          sketch AS (SELECT j AS depth, bucket, count(*) AS n
+                     FROM cells GROUP BY 1, 2),
+          top AS (SELECT token, count(*) AS exact_count FROM tk
+                  GROUP BY 1 ORDER BY exact_count DESC, token LIMIT 20),
+          cand AS (SELECT token, exact_count, j AS depth,
+              CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 8))
+                AS BIGINT) % 16 AS bucket
+            FROM top, UNNEST([0, 1, 2, 3]) AS u(j))
+          SELECT token, exact_count, min(n) AS cms_estimate
+          FROM cand JOIN sketch USING (depth, bucket)
+          GROUP BY token, exact_count ORDER BY token"""),
+    ),
+    // ---- out-of-vocabulary rate vs the corpus top-10 vocab -----------------
+    // see [[oovRate]]
+    QueryEntry(
+      "q_oov_rate",
+      (s, dir) => oovRate(t(s, dir, "documents"), 10).orderBy("doc_id"),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
+            FROM documents),
+          tk AS (SELECT doc_id, token FROM tok WHERE len(token) > 0),
+          vocab AS (SELECT token, 1 AS in_vocab FROM (
+              SELECT token, count(*) AS freq FROM tk
+              GROUP BY 1 ORDER BY freq DESC, token LIMIT 10)),
+          a AS (SELECT tk.doc_id, v.in_vocab
+                FROM tk LEFT JOIN vocab v ON tk.token = v.token)
+          SELECT doc_id, count(*) AS n_tokens,
+            count(*) - count(in_vocab) AS n_oov,
+            CAST(count(*) - count(in_vocab) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+              AS oov_rate
+          FROM a GROUP BY doc_id ORDER BY doc_id"""),
     ),
   )
 }

@@ -73,6 +73,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("containment: embedded doc scores 1.0 in its direction, dup pair both") {
+    // doc 6 = doc 1's text twice → sh(1) ⊆ sh(6) (9 distinct: 7 shared + 2
+    // boundary shingles), so containment flags what Jaccard (7/9) dilutes
+    val withEmbedded = docs.union(Seq(
+      (6L, "the quick brown fox jumps over the lazy dog " +
+        "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text"))
+    val got = DedupOps.containmentOnCandidates(withEmbedded, 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got((1L, 2L)) === ((1.0, 1.0))) // exact dups contain each other
+    assert(got((1L, 6L)) === ((1.0, 7.0 / 9.0))) // 1 embedded in 6
+    assert(got((2L, 6L)) === ((1.0, 7.0 / 9.0)))
+    // near-dup pair: 5 of 7 shingles shared, symmetric
+    got.get((1L, 3L)).foreach(v => assert(v === ((5.0 / 7.0, 5.0 / 7.0))))
+    // unrelated and too-short docs never appear
+    assert(!got.keys.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!got.keys.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
   test("simhash: identical texts equal, near dups within small hamming distance") {
     val sh = docs.select(col("doc_id"), DedupOps.simhash16(col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

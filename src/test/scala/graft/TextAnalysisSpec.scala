@@ -82,4 +82,69 @@ class TextAnalysisSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(r => (r.getLong(2), r.getLong(4)))
     assert(g2.toSeq === Seq((0L, 0L), (1L, 0L)))
   }
+
+  test("bm25: rational-IDF scores match the reference arithmetic exactly") {
+    // N=3 docs, dl = 3,2,2 → avgdl = 7/3; term 'a': df=2, tf=2 (doc 1), 1 (doc 2)
+    val docs = Seq(
+      (1L, "a a b"),
+      (2L, "a b"),
+      (3L, "b c"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(docs, Seq("a"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // same IEEE operation order as the Column expression
+    val avgdl = 7.0 / 3.0
+    def w(tf: Double, dl: Double, df: Double, n: Double): Double =
+      ((n - df + 0.5) / (df + 0.5)) *
+        ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+    assert(got === Seq((1L, w(2, 3, 2, 3)), (2L, w(1, 2, 2, 3))))
+    assert(got(0)._2 > got(1)._2) // higher tf on a shorter-normalized doc wins
+    // doc 3 has no query term → absent, not zero-scored
+    assert(!got.exists(_._1 == 3L))
+  }
+
+  test("cms heavy hitters: estimate >= exact, equality without collisions") {
+    import org.apache.commons.codec.digest.DigestUtils
+    val docs = Seq(
+      (1L, "a a a b b c"),
+      (2L, "a b c c d"),
+    ).toDF("doc_id", "text")
+    val depth = 2
+    val width = 2 // deliberately tiny → collisions guaranteed among 4 tokens
+    def bucket(j: Int, token: String): Long =
+      java.lang.Long.parseLong(
+        DigestUtils.md5Hex(s"$j:$token").substring(0, 8), 16) % width
+    val exact = Map("a" -> 4L, "b" -> 3L, "c" -> 3L, "d" -> 1L)
+    // reference sketch: counter per (depth, bucket); estimate = min over depths
+    val sketch = (for {
+      (tok, n) <- exact.toSeq; j <- 0 until depth
+    } yield ((j, bucket(j, tok)), n))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    val expected = exact.map { case (tok, _) =>
+      tok -> (0 until depth).map(j => sketch((j, bucket(j, tok)))).min
+    }
+    val got = TextAnalysis.cmsHeavyHitters(docs, depth, width, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 4)
+    got.foreach { case (tok, ex, est) =>
+      assert(ex === exact(tok))
+      assert(est === expected(tok), s"token $tok")
+      assert(est >= ex) // CMS never underestimates
+    }
+    // the tiny width must actually exercise a collision
+    assert(got.exists { case (tok, ex, est) => est > ex })
+  }
+
+  test("oov rate: vocabulary membership counted per doc") {
+    val docs = Seq(
+      (1L, "a a b"),
+      (2L, "c d"),
+    ).toDF("doc_id", "text")
+    // vocabK=1 → vocab = {a} (freq 2 beats the 1s)
+    val got = TextAnalysis.oovRate(docs, 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((1L, 3L, 1L, 1.0 / 3.0), (2L, 2L, 2L, 1.0)))
+  }
 }
