@@ -340,7 +340,57 @@ object Relational {
           FROM events JOIN customer ON user_id + 1 = c_custkey
           GROUP BY 1 ORDER BY 1"""),
     ),
+    // ---- one-pass column profiling (data-quality audit) --------------------
+    // see [[profileColumns]]: row/non-null/exact-distinct/min/max per column
+    // in ONE scan + ONE agg (Expand for the multi-column count-distincts);
+    // columns restricted to engine-portable string renderings.
+    QueryEntry(
+      "q_profile",
+      (s, dir) => profileColumns(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("col_name"),
+      Some {
+        val cols =
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        cols.map { c =>
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+              count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct,
+              CAST(min($c) AS VARCHAR) AS min_s,
+              CAST(max($c) AS VARCHAR) AS max_s FROM orders"""
+        }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
+      },
+    ),
   )
+
+  /** Single-scan column profiler: per requested column, row count, non-null
+    * count, exact distinct count, and min/max (stringified AFTER the typed
+    * min/max, so ordering semantics stay native — lexicographic stringify-
+    * then-compare would rank "10" < "9"). All statistics ride ONE
+    * aggregation over ONE scan; Catalyst plans the multiple exact
+    * count-distincts via a single Expand (scan-rows × |cols+1| expansion,
+    * partial-agg'd map-side), which is the standard one-pass profiling
+    * plan. At 100 TB swap `count_distinct` for `approx_count_distinct`
+    * (HLL, fixed-size state — the `q_approx_distinct` entry pins that
+    * estimator's determinism) and the Expand collapses away. Callers pick
+    * columns whose string form is engine-portable (ints / strings / dates
+    * — NOT doubles or timestamps, whose text renderings differ across
+    * engines).
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__nn"),
+        count_distinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val row = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val structs = array(cols.map { c =>
+      struct(lit(c).as("col_name"), col("__rows").as("n_rows"),
+        col(s"${c}__nn").as("n_nonnull"), col(s"${c}__nd").as("n_distinct"),
+        col(s"${c}__min").as("min_s"), col(s"${c}__max").as("max_s"))
+    }: _*)
+    row.select(explode(structs).as("p")).select(col("p.*"))
+  }
 
   /** F3 exclusion filter as a reusable operator: drop a row if any path
     * pattern is a substring of `file_name`; otherwise drop if the basename

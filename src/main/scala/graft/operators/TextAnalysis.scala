@@ -270,6 +270,36 @@ object TextAnalysis {
       .groupBy("token", "exact_count").agg(min(col("n")).as("cms_estimate"))
   }
 
+  /** PMI collocation scores over adjacent-token bigrams, in the log-free
+    * rational form `n(w1,w2)·N / (n(w1,·)·n(·,w2))` — a strictly monotone
+    * transform of textbook PMI `log p(w1,w2)/(p(w1)p(w2))` that keeps both
+    * engines bit-identical (the four factors are exact integers < 2⁵³, and
+    * the two IEEE multiplies + one divide are correctly rounded everywhere;
+    * `log` is not). Marginals are over bigram positions, so the ratio is
+    * exactly the PMI argument. Scale shape: ONE shuffle builds the bigram
+    * counts ([[tokenBigrams]], map-side combined to ≤|vocab|² rows); the
+    * marginals and the grand total are vocab-bounded/one-row frames
+    * derived from it and broadcast back — the corpus text is scanned once.
+    * The frame is persisted because it feeds four branches and Catalyst
+    * does not reuse exchanges across them (same finding as termSalience).
+    */
+  def pmiCollocations(docs: org.apache.spark.sql.DataFrame,
+                      minCount: Long): org.apache.spark.sql.DataFrame = {
+    val bi = tokenBigrams(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val left = bi.groupBy("w1").agg(sum(col("n")).as("n1"))
+    val right = bi.groupBy("w2").agg(sum(col("n")).as("n2"))
+    val total = bi.agg(sum(col("n")).as("n_total"))
+    bi.filter(col("n") >= minCount)
+      .join(broadcast(left), "w1")
+      .join(broadcast(right), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("n"),
+        ((col("n").cast("double") * col("n_total").cast("double")) /
+          (col("n1").cast("double") * col("n2").cast("double")))
+          .as("pmi_ratio"))
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus's own top-`k`
     * token vocabulary — the tokenizer-coverage check before committing a
     * vocab. The vocab is a bounded broadcast (top-k of a partial-agg'd
@@ -779,6 +809,28 @@ object TextAnalysis {
           SELECT token, exact_count, min(n) AS cms_estimate
           FROM cand JOIN sketch USING (depth, bucket)
           GROUP BY token, exact_count ORDER BY token"""),
+    ),
+    // ---- PMI collocations (log-free rational score) ------------------------
+    // see [[pmiCollocations]]: one corpus shuffle, broadcast marginals,
+    // exact-integer IEEE arithmetic so the emitted ratio hashes identically
+    QueryEntry(
+      "q_pmi",
+      (s, dir) => pmiCollocations(t(s, dir, "documents"), 3L)
+        .orderBy("w1", "w2"),
+      Some("""WITH b AS (
+            SELECT string_split(text,' ')[CAST(i AS INT)] AS w1,
+                   string_split(text,' ')[CAST(i AS INT)+1] AS w2
+            FROM documents,
+                 UNNEST(range(1, len(string_split(text,' ')))) AS t(i)),
+          bi AS (SELECT w1, w2, count(*) AS n FROM b GROUP BY 1, 2),
+          l AS (SELECT w1, CAST(sum(n) AS BIGINT) AS n1 FROM bi GROUP BY 1),
+          r AS (SELECT w2, CAST(sum(n) AS BIGINT) AS n2 FROM bi GROUP BY 1),
+          tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM bi)
+          SELECT bi.w1, bi.w2, bi.n,
+            (CAST(bi.n AS DOUBLE) * CAST(n_total AS DOUBLE))
+              / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS pmi_ratio
+          FROM bi JOIN l USING (w1) JOIN r USING (w2), tot
+          WHERE bi.n >= 3 ORDER BY bi.w1, bi.w2"""),
     ),
     // ---- out-of-vocabulary rate vs the corpus top-10 vocab -----------------
     // see [[oovRate]]

@@ -136,6 +136,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.exists { case (tok, ex, est) => est > ex })
   }
 
+  test("pmi: rational score equals n12*N/(n1*n2) over bigram positions") {
+    // bigrams: (a,b)x2 from doc1+doc2, (b,a)x1, (b,c)x1 → N=4
+    // marginals: n1(a)=2, n1(b)=2; n2(b)=2, n2(a)=1, n2(c)=1
+    val corpus = Seq(
+      (1L, "a b a b"), // → (a,b),(b,a),(a,b)
+      (2L, "b c"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(corpus, 1L)
+      .orderBy("w1", "w2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // N=4 bigrams: (a,b)x2, (b,a)x1, (b,c)x1
+    // n1: a→2, b→2 ; n2: b→2, a→1, c→1
+    assert(got.toSeq === Seq(
+      ("a", "b", 2L, (2.0 * 4.0) / (2.0 * 2.0)), // 2.0: a,b collocate
+      ("b", "a", 1L, (1.0 * 4.0) / (2.0 * 1.0)),
+      ("b", "c", 1L, (1.0 * 4.0) / (2.0 * 1.0)),
+    ))
+    // minCount prunes BEFORE the score, marginals stay corpus-wide
+    val pruned = TextAnalysis.pmiCollocations(corpus, 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
+    assert(pruned.toSeq === Seq(("a", "b", 2.0)))
+  }
+
   test("oov rate: vocabulary membership counted per doc") {
     val docs = Seq(
       (1L, "a a b"),
