@@ -179,6 +179,31 @@ object DedupOps {
         >= threshold)
   }
 
+  /** Exact Levenshtein verification of the MinHash-LSH candidate set —
+    * character-level ground truth where Jaccard/containment are set-level
+    * approximations (they can't see transpositions or in-shingle edits).
+    * Both engines implement the classic unit-cost DP, so the distance is a
+    * well-defined integer and the normalized similarity
+    * `1 − dist/max(len)` an exact IEEE division. The O(len_a·len_b) DP per
+    * pair is why this runs ONLY on the LSH candidates (bucket-bounded,
+    * never all-pairs): at corpus scale the candidate list is the tiny side
+    * and broadcasts onto the docs scan.
+    */
+  def editDistanceOnCandidates(docs: DataFrame): DataFrame = {
+    val pairs = minhashCandidatePairs(docs, "text", "doc_id")
+    val d = docs.select(col("doc_id"), col("text"))
+    pairs
+      .join(d.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"),
+        length(col("text_a")).cast("long").as("len_a"),
+        length(col("text_b")).cast("long").as("len_b"))
+      .withColumn("edit_sim",
+        lit(1.0) - col("edit_dist").cast("double") /
+          greatest(col("len_a"), col("len_b")).cast("double"))
+  }
+
   /** Incremental near-dup detection — the continuous-crawl shape: each new
     * delta of documents is checked against the already-indexed corpus, not
     * against itself. Split is content-addressed ([[TextAnalysis.splitBucket]]:
@@ -502,6 +527,46 @@ object DedupOps {
                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                   / CAST(len(b.sh) AS DOUBLE)) >= 0.5e0
             ORDER BY doc_a, doc_b"""
+      },
+    ),
+    // ---- exact edit-distance verification of LSH candidates ----------------
+    // character-level ground truth on the bucket-bounded candidate set;
+    // see [[editDistanceOnCandidates]] for why this never runs all-pairs
+    QueryEntry(
+      "q_edit_distance",
+      (s, dir) => editDistanceOnCandidates(t(s, dir, "documents"))
+        .orderBy("doc_a", "doc_b"),
+      Some {
+        val sh = sqlShingles("text")
+        val sigCols = (0 until NumHashes)
+          .map(i => s"${sqlMinhashSig(sh, i)} AS sig_$i").mkString(", ")
+        val bandCols = (0 until NumHashes / BandRows).map { b =>
+          val parts = (0 until BandRows).map(r => s"sig_${b * BandRows + r}")
+          s"md5(${parts.mkString(" || ")}) AS band_$b"
+        }.mkString(", ")
+        val bandUnion = (0 until NumHashes / BandRows)
+          .map(b => s"SELECT doc_id AS doc, $b AS band_idx, band_$b AS band_hash FROM sigs")
+          .mkString(" UNION ALL ")
+        s"""WITH raw AS (
+              SELECT doc_id, $sigCols FROM documents
+              WHERE len(string_split(text,' ')) >= $ShingleSize),
+            sigs AS (SELECT doc_id, $bandCols FROM raw),
+            bands AS ($bandUnion),
+            cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+               AND a.doc < b.doc)
+            SELECT c.doc_a, c.doc_b,
+              CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+              CAST(len(a.text) AS BIGINT) AS len_a,
+              CAST(len(b.text) AS BIGINT) AS len_b,
+              1e0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                / CAST(greatest(len(a.text), len(b.text)) AS DOUBLE)
+                AS edit_sim
+            FROM cand c
+            JOIN documents a ON a.doc_id = c.doc_a
+            JOIN documents b ON b.doc_id = c.doc_b
+            ORDER BY c.doc_a, c.doc_b"""
       },
     ),
     // ---- incremental near-dup: delta vs indexed corpus --------------------

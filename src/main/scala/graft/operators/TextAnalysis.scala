@@ -270,6 +270,36 @@ object TextAnalysis {
       .groupBy("token", "exact_count").agg(min(col("n")).as("cms_estimate"))
   }
 
+  /** Token-distribution drift between the content-addressed train and eval
+    * splits: per token, its occurrence rate on each side and the absolute
+    * rate gap, top-`k` by gap — the corpus-health check that catches a
+    * skewed split or a domain shift before training does. All counts are
+    * exact integers off ONE tokenize pass (both sides share one shuffle
+    * via conditional sums — no union, no second scan); the rates and the
+    * gap are a fixed-order chain of IEEE divide/subtract/abs both engines
+    * reproduce bit-identically. Totals are a broadcast 1-row frame.
+    */
+  def tokenDistributionDrift(docs: org.apache.spark.sql.DataFrame,
+                             k: Int): org.apache.spark.sql.DataFrame = {
+    val tok = docs
+      .select((splitBucket < 90).as("is_train"),
+        explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+    val counts = tok.groupBy("token").agg(
+      sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"),
+      sum(when(!col("is_train"), 1L).otherwise(0L)).as("n_eval"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = counts.agg(sum(col("n_train")).as("t_train"),
+      sum(col("n_eval")).as("t_eval"))
+    val rTrain = col("n_train").cast("double") / col("t_train").cast("double")
+    val rEval = col("n_eval").cast("double") / col("t_eval").cast("double")
+    counts.crossJoin(broadcast(tot))
+      .select(col("token"), col("n_train"), col("n_eval"),
+        abs(rTrain - rEval).as("rate_gap"))
+      .orderBy(col("rate_gap").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** PMI collocation scores over adjacent-token bigrams, in the log-free
     * rational form `n(w1,w2)·N / (n(w1,·)·n(·,w2))` — a strictly monotone
     * transform of textbook PMI `log p(w1,w2)/(p(w1)p(w2))` that keeps both
@@ -809,6 +839,33 @@ object TextAnalysis {
           SELECT token, exact_count, min(n) AS cms_estimate
           FROM cand JOIN sketch USING (depth, bucket)
           GROUP BY token, exact_count ORDER BY token"""),
+    ),
+    // ---- train/eval token-distribution drift --------------------------------
+    // see [[tokenDistributionDrift]]: one tokenize shuffle with conditional
+    // sums for both splits, broadcast totals, exact-integer counts and a
+    // fixed-order IEEE rate-gap so the top-k hashes identically
+    QueryEntry(
+      "q_dist_drift",
+      (s, dir) => tokenDistributionDrift(t(s, dir, "documents"), 25),
+      Some("""WITH b AS (SELECT
+            CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT)
+              % 100 < 90 AS is_train, text FROM documents),
+          tok AS (SELECT is_train, unnest(string_split(text,' ')) AS token
+                  FROM b),
+          tk AS (SELECT is_train, token FROM tok WHERE len(token) > 0),
+          c AS (SELECT token,
+              CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_train,
+              CAST(sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+                AS n_eval
+            FROM tk GROUP BY 1),
+          t AS (SELECT CAST(sum(n_train) AS BIGINT) AS t_train,
+                       CAST(sum(n_eval) AS BIGINT) AS t_eval FROM c)
+          SELECT token, n_train, n_eval,
+            abs(CAST(n_train AS DOUBLE) / CAST(t_train AS DOUBLE)
+              - CAST(n_eval AS DOUBLE) / CAST(t_eval AS DOUBLE)) AS rate_gap
+          FROM c, t
+          ORDER BY rate_gap DESC, token ASC LIMIT 25"""),
     ),
     // ---- PMI collocations (log-free rational score) ------------------------
     // see [[pmiCollocations]]: one corpus shuffle, broadcast marginals,

@@ -93,6 +93,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!got.keys.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("edit distance: zero for exact dups, exact DP count for near dups") {
+    val got = DedupOps.editDistanceOnCandidates(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    val len1 = "the quick brown fox jumps over the lazy dog".length.toLong
+    assert(got((1L, 2L)) === ((0L, len1, len1, 1.0))) // exact dup pair
+    // near-dup 3 differs from 1 by one word swap; distance is the exact
+    // character-level DP result, similarity the exact IEEE division
+    got.get((1L, 3L)).foreach { case (d, la, lb, sim) =>
+      assert(d > 0L && d < la)
+      assert(sim === 1.0 - d.toDouble / math.max(la, lb).toDouble)
+    }
+    // unrelated doc 4 never reaches the DP (not an LSH candidate)
+    assert(!got.keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("simhash: identical texts equal, near dups within small hamming distance") {
     val sh = docs.select(col("doc_id"), DedupOps.simhash16(col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -136,6 +136,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.exists { case (tok, ex, est) => est > ex })
   }
 
+  test("dist drift: conditional split counts, rate gap, top-k order") {
+    import org.apache.commons.codec.digest.DigestUtils
+    def isTrain(id: Long): Boolean =
+      java.lang.Long.parseLong(
+        DigestUtils.md5Hex(s"split:$id").substring(0, 8), 16) % 100 < 90
+    // pick one id per side so the split is known a priori
+    val trainId = (1L to 50L).find(isTrain).get
+    val evalId = (1L to 50L).find(!isTrain(_)).get
+    val docs = Seq(
+      (trainId, "a a b"),
+      (evalId, "a c"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenDistributionDrift(docs, 10)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // totals: train 3 tokens, eval 2; gaps: a |2/3-1/2|=1/6, b 1/3, c 1/2
+    assert(got.toSeq === Seq(
+      ("c", 0L, 1L, math.abs(0.0 / 3.0 - 1.0 / 2.0)),
+      ("b", 1L, 0L, math.abs(1.0 / 3.0 - 0.0 / 2.0)),
+      ("a", 2L, 1L, math.abs(2.0 / 3.0 - 1.0 / 2.0)),
+    ))
+  }
+
   test("pmi: rational score equals n12*N/(n1*n2) over bigram positions") {
     // bigrams: (a,b)x2 from doc1+doc2, (b,a)x1, (b,c)x1 → N=4
     // marginals: n1(a)=2, n1(b)=2; n2(b)=2, n2(a)=1, n2(c)=1
