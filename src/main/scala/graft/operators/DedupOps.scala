@@ -805,7 +805,54 @@ object DedupOps {
                md5(string_agg(chunk, chr(10) ORDER BY idx)) AS kept_sig
         FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id"""),
     ),
+    // ---- duplicated-span detection (stride-1 rolling windows) --------------
+    // see [[duplicatedSpans]]: cross-document boilerplate via overlapping
+    // 12-token windows; only hashes shuffle, never text
+    QueryEntry(
+      "q_dup_spans",
+      (s, dir) => duplicatedSpans(t(s, dir, "documents"), 12, 2L)
+        .orderBy("span_hash"),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+            FROM documents),
+          spans AS (SELECT doc_id,
+              md5(array_to_string(ws[CAST(i AS INT)+1:CAST(i AS INT)+12], ' '))
+                AS span_hash
+            FROM w, UNNEST(range(0, len(ws) - 12 + 1)) AS t(i))
+          SELECT span_hash, count(*) AS n_occurrences,
+            count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+          FROM spans GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+          ORDER BY span_hash"""),
+    ),
   )
+
+  /** ExactSubstr-style duplicated-span detection: EVERY overlapping
+    * `spanWords`-token window (stride 1, unlike [[paragraphDedup]]'s
+    * non-overlapping chunks), hashed and aggregated; returns spans that
+    * occur in at least `minDocs` distinct documents — the cross-document
+    * boilerplate detector that chunk-aligned dedup misses when the
+    * duplicate starts mid-chunk. Scale shape: the window expansion is a
+    * narrow codegen'd transform (×spanWords row growth, no join); only
+    * span HASHES cross the shuffle (never span text), and the single
+    * aggregation partial-combines on (hash, doc) before the distinct-doc
+    * count. At 100 TB, truncate the hash to 64 bits and pre-filter with a
+    * bloom of once-seen hashes so unique spans (the overwhelming majority)
+    * die map-side.
+    */
+  def duplicatedSpans(docs: DataFrame, spanWords: Int,
+                      minDocs: Long): DataFrame = {
+    val words = split(col("text"), " ")
+    val nWin = size(words) - spanWords + 1
+    val wins = when(nWin > 0,
+      transform(sequence(lit(0), nWin - 1),
+        i => md5(array_join(slice(words, i + 1, lit(spanWords)), " "))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"), explode(wins).as("span_hash"))
+      .groupBy("span_hash")
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+  }
 
   /** C4-style corpus paragraph dedup over (doc_id, text): fixed 8-word
     * chunks, first corpus occurrence in (doc_id, idx) order wins; returns

@@ -270,6 +270,27 @@ object TextAnalysis {
       .groupBy("token", "exact_count").agg(min(col("n")).as("cms_estimate"))
   }
 
+  /** Deterministic quality-proportional downsampling: each doc survives iff
+    * its content-addressed permille draw (md5 of the salted id, same
+    * mechanism as [[splitBucket]]) falls under `quality × 1000` — i.e. a
+    * doc is kept with probability equal to its [[qualityExpr]] score, but
+    * the decision is a pure function of (doc_id, text): reproducible
+    * across engines, runs, and partitionings, and growth-stable (adding
+    * docs never flips an existing doc's fate — the property random
+    * sampling lacks). This is the CCNet/FineWeb-style quality-weighted
+    * keep, per-row and shuffle-free: it pipelines into whatever scan or
+    * filter precedes it at any scale.
+    */
+  def qualitySample(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val draw = pmod(
+      conv(substring(md5(concat(lit("qs:"), col("doc_id"))), 1, 8),
+        16, 10).cast("long"), lit(1000L))
+    docs
+      .select(col("doc_id"), qualityExpr(col("text")).as("quality"),
+        draw.as("draw"))
+      .filter(col("draw").cast("double") < col("quality") * lit(1000.0))
+  }
+
   /** Token-distribution drift between the content-addressed train and eval
     * splits: per token, its occurrence rate on each side and the absolute
     * rate gap, top-`k` by gap — the corpus-health check that catches a
@@ -839,6 +860,30 @@ object TextAnalysis {
           SELECT token, exact_count, min(n) AS cms_estimate
           FROM cand JOIN sketch USING (depth, bucket)
           GROUP BY token, exact_count ORDER BY token"""),
+    ),
+    // ---- quality-proportional deterministic sampling ------------------------
+    // see [[qualitySample]]: content-addressed permille draw vs the quality
+    // score — per-row, shuffle-free, growth-stable
+    QueryEntry(
+      "q_quality_sample",
+      (s, dir) => qualitySample(t(s, dir, "documents")).orderBy("doc_id"),
+      Some {
+        val w = "string_split(text, ' ')"
+        val lw = "string_split(lower(text), ' ')"
+        val stop = sqlLangScore(lw, "en")
+        s"""WITH q AS (SELECT doc_id,
+              0.5 * least(CAST($stop AS DOUBLE) / CAST(len($w) AS DOUBLE) * 5.0, 1.0)
+            + 0.3 * least(CAST(len($w) AS DOUBLE) / 100.0, 1.0)
+            + 0.2 * (1.0 - least(
+                CAST(len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                  / CAST(len(text) AS DOUBLE) * 10.0, 1.0)) AS quality,
+              CAST(('0x' || substr(md5('qs:' || doc_id), 1, 8)) AS BIGINT) % 1000
+                AS draw
+            FROM documents)
+          SELECT doc_id, quality, draw FROM q
+          WHERE CAST(draw AS DOUBLE) < quality * 1000.0
+          ORDER BY doc_id"""
+      },
     ),
     // ---- train/eval token-distribution drift --------------------------------
     // see [[tokenDistributionDrift]]: one tokenize shuffle with conditional

@@ -111,6 +111,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!got.keys.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("duplicated spans: stride-1 windows catch a mid-chunk shared span") {
+    // docs share a 4-token run at DIFFERENT offsets (1 vs 0) — an aligned
+    // chunker misses it; stride-1 windows must find it
+    val corpus = Seq(
+      (1L, "x common run of words a"),
+      (2L, "common run of words b c"),
+      (3L, "nothing shared here at all"),
+    ).toDF("doc_id", "text")
+    val got = DedupOps.duplicatedSpans(corpus, 4, 2L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === 1)
+    val (h, occ, nDocs, first) = got.head
+    assert(h === org.apache.commons.codec.digest.DigestUtils
+      .md5Hex("common run of words"))
+    assert((occ, nDocs, first) === ((2L, 2L, 1L)))
+    // within-doc repetition alone (n_docs = 1) stays below the gate
+    val rep = Seq((7L, "p q r s p q r s")).toDF("doc_id", "text")
+    assert(DedupOps.duplicatedSpans(rep, 4, 2L).count() === 0L)
+    assert(DedupOps.duplicatedSpans(rep, 4, 1L)
+      .filter(col("n_occurrences") === 2).count() === 1L) // "p q r s" twice
+  }
+
   test("simhash: identical texts equal, near dups within small hamming distance") {
     val sh = docs.select(col("doc_id"), DedupOps.simhash16(col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -136,6 +136,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.exists { case (tok, ex, est) => est > ex })
   }
 
+  test("quality sample: keep iff content-addressed draw < quality*1000") {
+    import org.apache.commons.codec.digest.DigestUtils
+    def draw(id: Long): Long =
+      java.lang.Long.parseLong(
+        DigestUtils.md5Hex(s"qs:$id").substring(0, 8), 16) % 1000
+    // high-quality text (stopword-rich, long-ish, no punct) vs junk
+    val good = "the cat and the dog of a house is a fine thing " * 3
+    val junk = "@@@@ #### $$$$ %%%%"
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) good.trim else junk)).toDF("doc_id", "text")
+    val kept = TextAnalysis.qualitySample(docs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    kept.foreach { case (id, q, d) =>
+      assert(d === draw(id))
+      assert(d.toDouble < q * 1000.0) // the keep rule, exactly
+    }
+    // junk (quality ~0.06) must survive far less often than good (~0.8+)
+    val keptIds = kept.map(_._1).toSet
+    val goodKept = (1L to 40L).count(i => i % 2 == 0 && keptIds(i))
+    val junkKept = (1L to 40L).count(i => i % 2 == 1 && keptIds(i))
+    assert(goodKept > 10 && junkKept < 5)
+    // determinism: same input → identical keep set
+    assert(TextAnalysis.qualitySample(docs)
+      .collect().map(_.getLong(0)).toSet === keptIds)
+  }
+
   test("dist drift: conditional split counts, rate gap, top-k order") {
     import org.apache.commons.codec.digest.DigestUtils
     def isTrain(id: Long): Boolean =
