@@ -203,20 +203,30 @@ class GlacierPipelineSpec extends AnyFunSuite {
     tA.start()
     started.await()
     Thread.sleep(300) // let A enter its table write, before its flip
-    val bId = gB.commit(spark, Seq(gB.TableWrite("small", Seq(1).toDF("v"),
-      gB.Append)))
+    // EITHER side may lose the flip race (under load A's "slow" write can
+    // finish before B even starts); both loser paths must see the same
+    // retryable conflict and succeed on retry.
+    val bResult: Either[Throwable, Long] =
+      try Right(gB.commit(spark, Seq(gB.TableWrite("small", Seq(1).toDF("v"),
+        gB.Append))))
+      catch { case t: Throwable => Left(t) }
     tA.join(120000)
-    (aResult, bId) match {
-      case (Left(t), 2L) =>
+    (aResult, bResult) match {
+      case (Left(t), Right(2L)) =>
         assert(t.isInstanceOf[Glacier.CommitConflictException],
           s"loser must get a retryable conflict, got $t")
         // retry from the loser succeeds on the new parent
         val retried = gA.commit(spark,
           Seq(gA.TableWrite("big2", Seq(5).toDF("v"), gA.Append)))
         assert(retried === 3L)
-      case (Right(aId), _) =>
-        // A finished before B started its flip — no race this run; history
-        // must still be strictly linear
+      case (Right(2L), Left(t)) =>
+        assert(t.isInstanceOf[Glacier.CommitConflictException],
+          s"loser must get a retryable conflict, got $t")
+        val retried = gB.commit(spark,
+          Seq(gB.TableWrite("small", Seq(1).toDF("v"), gB.Append)))
+        assert(retried === 3L)
+      case (Right(aId), Right(bId)) =>
+        // no overlap this run — history must still be strictly linear
         assert(Set(aId, bId) === Set(2L, 3L))
       case other => fail(s"unexpected outcome $other")
     }
