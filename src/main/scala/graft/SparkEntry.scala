@@ -22,7 +22,9 @@ object SparkEntry {
       operators.SimulationOps.entries ++
       operators.AnalyzeOps.entries ++
       operators.GraphOps.entries ++
+      operators.BucketedOps.entries ++
       sources.NmrLipidsSource.entries ++
+      sources.JsonlStore.entries ++
       plans.TopKPerKey.entries ++
       streaming.StreamQueries.entries ++
       operators.CrawlQueries.entries

@@ -153,6 +153,45 @@ object DedupOps {
       .distinct()
   }
 
+  /** SimHash near-duplicate pairs at scale: block LSH over the 16-bit
+    * sketch (the Manku et al. WWW'07 scheme). Hamming distance ≤ 1 implies
+    * at least one 8-bit half of the two sketches is bit-identical
+    * (pigeonhole), so candidates come from ONE shuffle on
+    * (half_idx, half_value) with in-bucket pair expansion — never an
+    * all-pairs join — and are verified with an exact popcount on the XOR.
+    * At 100 TB the sketch is 64-bit split into d+1 blocks for distance ≤ d
+    * (same plan shape; buckets stay balanced because sketch bits are
+    * hash-uniform); 16 bits here keeps the DuckDB oracle in lockstep with
+    * [[simhash16]].
+    */
+  def simhashHammingPairs(docs: DataFrame, maxHamming: Int = 1): DataFrame = {
+    val sk = docs.select(col("doc_id"), simhash16(col("text")).as("sh"))
+    val halves = Seq(0, 1).map { j =>
+      struct(lit(j).as("half_idx"),
+        shiftright(col("sh"), 8 * j).bitwiseAND(lit(255L)).as("half_val"))
+    }
+    val exploded = sk
+      .select(col("doc_id"), col("sh"), explode(array(halves: _*)).as("h"))
+      .select(col("doc_id"), col("sh"), col("h.half_idx"), col("h.half_val"))
+    // ONE shuffle: bucket sketches by half, expand i<j pairs in-bucket via
+    // codegen'd HOFs (the minhashCandidatePairs pattern — a half self-join
+    // would shuffle the sketch pipeline twice).
+    val buckets = exploded
+      .groupBy(col("half_idx"), col("half_val"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sh")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val pairs = flatten(transform(col("ds"), (x, i) =>
+      transform(slice(col("ds"), i + 2, size(col("ds"))),
+        y => struct(x.getField("doc_id").as("doc_a"),
+          y.getField("doc_id").as("doc_b"),
+          x.getField("sh").as("sh_a"), y.getField("sh").as("sh_b")))))
+    buckets.select(explode(pairs).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"),
+        expr("cast(bit_count(p.sh_a ^ p.sh_b) as bigint)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Directed Broder containment on the MinHash-LSH candidate set: for each
     * candidate pair, |A∩B|/|A| and |A∩B|/|B| over distinct word-shingle
     * sets, keeping pairs where either direction reaches `threshold`.
@@ -380,6 +419,26 @@ object DedupOps {
       Some(s"""SELECT doc_id,
         CAST(${sqlSimhash16("text")} AS BIGINT) AS simhash
         FROM documents ORDER BY doc_id"""),
+    ),
+    // ---- SimHash hamming-distance pairs via block LSH -----------------------
+    // see [[simhashHammingPairs]] for the pigeonhole argument and scale shape
+    QueryEntry(
+      "q_simhash_pairs",
+      (s, dir) =>
+        simhashHammingPairs(t(s, dir, "documents"), maxHamming = 1)
+          .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH s AS (SELECT doc_id,
+              CAST(${sqlSimhash16("text")} AS BIGINT) AS sh FROM documents),
+          h AS (SELECT doc_id, sh, j, (sh >> (8*j)) & 255 AS hv
+                FROM s, UNNEST([0, 1]) AS u(j)),
+          p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.sh AS sh_a, b.sh AS sh_b
+                FROM h a JOIN h b
+                  ON a.j = b.j AND a.hv = b.hv AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b,
+            CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+          FROM p WHERE bit_count(xor(sh_a, sh_b)) <= 1
+          ORDER BY doc_a, doc_b"""),
     ),
     // ---- n-gram Jaccard within (lang, source) blocks ------------------------
     QueryEntry(

@@ -71,6 +71,47 @@ object GraphOps {
     ranks.select(col("node"), col("r").as("rank"))
   }
 
+  /** Fixed-iteration HITS (Kleinberg): hub mass flows src→dst into
+    * authority, authority flows back dst→src into hub — the second
+    * crawl-priority signal family (a hub page full of dataset links vs an
+    * authoritative dataset page). Each half-step is L1-normalized;
+    * contribution mass is quantized to integral NANO-units and summed as
+    * exact longs — the [[pagerank]] determinism pattern, but nano not pico
+    * so every norm sum stays under 2^53 and its double cast is exact at any
+    * scale factor. Scale shape per iteration: two partial-agg'd shuffles
+    * (keyed src, then dst) over the persisted edge table plus two 1-row
+    * scalar aggs for the norms; same bucketed-edge story as PageRank at
+    * 100 TB.
+    */
+  def hits(docs: DataFrame, iterations: Int): DataFrame = {
+    val QuantN = 1e9
+    val nDf = docs.agg(count(lit(1)).as("n_docs"))
+    val nodes = docs.select(col("doc_id").as("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = syntheticEdges(nodes, nDf)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var auth = nodes.select(col("node"), lit(1.0).as("a"))
+    var hub = nodes.select(col("node"), lit(1.0).as("h"))
+    for (_ <- 1 to iterations) {
+      val hq = edges.join(auth.select(col("node").as("dst"), col("a")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(sum(floor(col("a") * QuantN)).as("hq"))
+      val hnorm = hq.agg(sum(col("hq")).as("hsum"))
+      hub = nodes.join(hq, Seq("node"), "left").crossJoin(broadcast(hnorm))
+        .select(col("node"), (coalesce(col("hq"), lit(0L)).cast("double") /
+          col("hsum").cast("double")).as("h"))
+      val aq = edges.join(hub.select(col("node").as("src"), col("h")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(floor(col("h") * QuantN)).as("aq"))
+      val anorm = aq.agg(sum(col("aq")).as("asum"))
+      auth = nodes.join(aq, Seq("node"), "left").crossJoin(broadcast(anorm))
+        .select(col("node"), (coalesce(col("aq"), lit(0L)).cast("double") /
+          col("asum").cast("double")).as("a"))
+    }
+    hub.join(auth, "node")
+      .select(col("node"), col("h").as("hub"), col("a").as("auth"))
+  }
+
   private val sqlN = "(SELECT count(*) FROM documents)"
   private def sqlStep(prev: String, i: Int): String =
     s"""s$i AS (SELECT e.dst AS node,
@@ -80,7 +121,36 @@ object GraphOps {
           0.15e0 / $sqlN + 0.85e0 * (CAST(coalesce(s$i.sq, 0) AS DOUBLE) / 1e12) AS r
         FROM nodes LEFT JOIN s$i USING (node))"""
 
+  // one HITS iteration in oracle SQL: authority a$prev → hub h$i → auth a$i
+  private def sqlHitsIter(i: Int, prev: Int): String =
+    s"""hq$i AS (SELECT e.src AS node,
+          CAST(sum(CAST(floor(a$prev.a * 1e9) AS BIGINT)) AS BIGINT) AS q
+        FROM e JOIN a$prev ON a$prev.node = e.dst GROUP BY 1),
+      h$i AS (SELECT nodes.node, CAST(coalesce(q, 0) AS DOUBLE)
+          / (SELECT CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) FROM hq$i) AS h
+        FROM nodes LEFT JOIN hq$i USING (node)),
+      aq$i AS (SELECT e.dst AS node,
+          CAST(sum(CAST(floor(h$i.h * 1e9) AS BIGINT)) AS BIGINT) AS q
+        FROM e JOIN h$i ON h$i.node = e.src GROUP BY 1),
+      a$i AS (SELECT nodes.node, CAST(coalesce(q, 0) AS DOUBLE)
+          / (SELECT CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) FROM aq$i) AS a
+        FROM nodes LEFT JOIN aq$i USING (node))"""
+
   def entries: Seq[QueryEntry] = Seq(
+    QueryEntry(
+      "q_hits",
+      (s, dir) => hits(t(s, dir, "documents"), 2).orderBy("node"),
+      Some(s"""WITH nodes AS (SELECT doc_id AS node FROM documents),
+          e0 AS (SELECT node AS src, (node*7+1) % $sqlN AS dst FROM nodes
+                 UNION ALL SELECT node, (node*13+5) % $sqlN FROM nodes
+                 UNION ALL SELECT node, (node*31+11) % $sqlN FROM nodes),
+          e AS (SELECT DISTINCT src, dst FROM e0 WHERE dst <> src),
+          a0 AS (SELECT node, 1e0 AS a FROM nodes),
+          ${sqlHitsIter(1, 0)},
+          ${sqlHitsIter(2, 1)}
+          SELECT h2.node, h2.h AS hub, a2.a AS auth
+          FROM h2 JOIN a2 USING (node) ORDER BY node"""),
+    ),
     QueryEntry(
       "q_pagerank",
       (s, dir) => pagerank(t(s, dir, "documents"), 3).orderBy("node"),

@@ -340,6 +340,40 @@ object Relational {
           FROM events JOIN customer ON user_id + 1 = c_custkey
           GROUP BY 1 ORDER BY 1"""),
     ),
+    // ---- snapshot diff / CDC between two table versions ---------------------
+    // see [[snapshotDiff]]: keyed full-outer join, the dataset-versioning
+    // primitive (what changed between two Glacier snapshots of a corpus)
+    QueryEntry(
+      "q_table_diff",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val v1 = orders.filter(pmod(col("o_orderkey"), lit(1000L)) < 995)
+        val v2 = orders.withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(500L)) === 0,
+            col("o_totalprice") * 2).otherwise(col("o_totalprice")))
+        snapshotDiff(v1, v2, "o_orderkey")
+          .select(col("o_orderkey"), col("change"),
+            col("old_o_totalprice").as("old_price"),
+            col("new_o_totalprice").as("new_price"))
+          .orderBy("o_orderkey", "change")
+      },
+      Some("""WITH v1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+              FROM orders WHERE o_orderkey % 1000 < 995),
+          v2 AS (SELECT o_orderkey, o_orderstatus,
+              CASE WHEN o_orderkey % 500 = 0 THEN o_totalprice * 2
+                   ELSE o_totalprice END AS o_totalprice FROM orders)
+          SELECT o_orderkey,
+            CASE WHEN v1.o_orderstatus IS NULL THEN 'added'
+                 WHEN v2.o_orderstatus IS NULL THEN 'removed'
+                 ELSE 'changed' END AS change,
+            v1.o_totalprice AS old_price, v2.o_totalprice AS new_price
+          FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
+          WHERE v1.o_orderstatus IS NULL OR v2.o_orderstatus IS NULL
+             OR v1.o_orderstatus <> v2.o_orderstatus
+             OR v1.o_totalprice <> v2.o_totalprice
+          ORDER BY o_orderkey, change"""),
+    ),
     // ---- one-pass column profiling (data-quality audit) --------------------
     // see [[profileColumns]]: row/non-null/exact-distinct/min/max per column
     // in ONE scan + ONE agg (Expand for the multi-column count-distincts);
@@ -390,6 +424,35 @@ object Relational {
         col(s"${c}__min").as("min_s"), col(s"${c}__max").as("max_s"))
     }: _*)
     row.select(explode(structs).as("p")).select(col("p.*"))
+  }
+
+  /** Snapshot diff (CDC) between two versions of a keyed table: one keyed
+    * full-outer join classifying every key as added / removed / changed
+    * (unchanged rows are dropped map-side of nothing — the join's ONE
+    * shuffle on the key is the whole cost; both sides partial-project to
+    * (key, payload struct) before it). At 100 TB both snapshots live
+    * bucketed by the key (Glacier layout), making the join co-located, and
+    * the payload struct is replaced by a content hash so only changed keys
+    * carry bytes. Emits (key, change, old_*, new_*) flat payload columns.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, key: String): DataFrame = {
+    val payload = oldDf.columns.filterNot(_ == key)
+    require(payload.sameElements(newDf.columns.filterNot(_ == key)),
+      "snapshotDiff: both snapshots must share the same schema")
+    val o = oldDf.select(col(key),
+      struct(payload.map(col): _*).as("old_row"))
+    val n = newDf.select(col(key),
+      struct(payload.map(col): _*).as("new_row"))
+    o.join(n, Seq(key), "full_outer")
+      .withColumn("change",
+        when(col("old_row").isNull, lit("added"))
+          .when(col("new_row").isNull, lit("removed"))
+          .when(col("old_row") =!= col("new_row"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change") =!= "unchanged")
+      .select(col(key) +: col("change") +:
+        (payload.map(c => col(s"old_row.$c").as(s"old_$c")) ++
+          payload.map(c => col(s"new_row.$c").as(s"new_$c"))): _*)
   }
 
   /** F3 exclusion filter as a reusable operator: drop a row if any path

@@ -236,6 +236,52 @@ object TextAnalysis {
     byTerm.select(col("doc_id"), score.as("bm25"))
   }
 
+  /** All-pairs document cosine similarity over term-frequency vectors via
+    * the inverted index — the Bayardo et al. WWW'07 all-pairs shape. Hot
+    * terms (document frequency above `maxDfPct`% of the corpus) are pruned
+    * from the VECTOR SPACE first (tf, norms, and postings all computed on
+    * the pruned space, so the emitted value is the exact cosine of the
+    * pruned vectors, not an approximation of anything). Partial dot
+    * products come from a postings self-join on the term — per-term work
+    * is bounded by the df cap, so no hot term ever drives an O(df²)
+    * bucket — then ONE pair-keyed shuffle sums them. The threshold is
+    * applied sqrt-free on exact integers (q²·dot² ≥ p²·‖a‖²·‖b‖² for
+    * cosine ≥ p/q), and only the emitted cosine touches floating point
+    * (exact-int casts, one IEEE multiply/sqrt/divide — bit-identical across
+    * engines). At 100 TB add Bayardo prefix filtering to shrink the
+    * postings join; the plan shape is unchanged.
+    */
+  def cosinePairsIndexed(docs: org.apache.spark.sql.DataFrame,
+                         thrNum: Long, thrDen: Long,
+                         maxDfPct: Int): org.apache.spark.sql.DataFrame = {
+    val tf0 = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dfq = tf0.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .where(col("df") * 100 <= col("n_docs") * maxDfPct)
+      .select(col("term"))
+    val tf = tf0.join(dfq, "term") // pruned vector space
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("norm_sq"))
+    val dot = tf.as("a").join(tf.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    dot
+      .join(norms.select(col("doc_id").as("doc_a"), col("norm_sq").as("na")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("norm_sq").as("nb")), "doc_b")
+      .where(lit(thrDen * thrDen) * col("dot") * col("dot")
+        >= lit(thrNum * thrNum) * col("na") * col("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("dot").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double")))
+          .as("cosine"))
+  }
+
   /** Count-min-sketch frequency estimation: depth×width counter grid keyed
     * by salted md5 buckets, estimate = min over depths. THE bounded-state
     * frequency operator at corpus scale — the sketch shuffle carries at most
@@ -834,6 +880,36 @@ object TextAnalysis {
             + coalesce(max(CASE WHEN term = 'scan' THEN weight END), 0e0)
               AS bm25
           FROM w GROUP BY doc_id ORDER BY doc_id"""),
+    ),
+    // ---- all-pairs TF-cosine via the inverted index ------------------------
+    // see [[cosinePairsIndexed]]: df-capped vector space, postings
+    // self-join, sqrt-free integer threshold (cosine >= 4/5)
+    QueryEntry(
+      "q_cosine_pairs_index",
+      (s, dir) => cosinePairsIndexed(t(s, dir, "documents"), 4, 5, 20)
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+            FROM documents),
+          tf0 AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                  WHERE len(term) > 0 GROUP BY 1, 2),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          keep AS (SELECT term FROM
+              (SELECT term, count(*) AS df FROM tf0 GROUP BY 1), n
+            WHERE df * 100 <= n_docs * 20),
+          tf AS (SELECT tf0.* FROM tf0 JOIN keep USING (term)),
+          norms AS (SELECT doc_id, CAST(sum(tf*tf) AS BIGINT) AS norm_sq
+                    FROM tf GROUP BY 1),
+          d AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(sum(a.tf*b.tf) AS BIGINT) AS dot
+                FROM tf a JOIN tf b
+                  ON a.term = b.term AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          j AS (SELECT doc_a, doc_b, dot, na.norm_sq AS na, nb.norm_sq AS nb
+                FROM d JOIN norms na ON na.doc_id = d.doc_a
+                       JOIN norms nb ON nb.doc_id = d.doc_b)
+          SELECT doc_a, doc_b,
+            CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+              AS cosine
+          FROM j WHERE 25*dot*dot >= 16*na*nb ORDER BY doc_a, doc_b"""),
     ),
     // ---- count-min-sketch frequency estimates vs ground truth -------------
     // depth 4 × width 16 (width deliberately small so collisions — and the

@@ -354,4 +354,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
     assert(got8.toSeq === got.toSeq)
   }
+
+  test("simhash pairs: block LSH == brute-force hamming<=1, no dup pairs") {
+    // ten docs incl. an exact dup (hamming 0) and assorted texts; the block
+    // LSH must return EXACTLY the brute-force pairs at distance <= 1
+    // (pigeonhole completeness) with each pair emitted once
+    val ten = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the sleepy dog"),
+      (4L, "completely different words entirely here now friends"),
+      (5L, "alpha beta gamma delta"),
+      (6L, "alpha beta gamma delta epsilon"),
+      (7L, "one two three four five six"),
+      (8L, "seven eight nine ten eleven"),
+      (9L, "lorem ipsum dolor sit amet"),
+      (10L, "pack my box with five dozen jugs"),
+    ).toDF("doc_id", "text")
+    val sketches = ten
+      .select(col("doc_id"), DedupOps.simhash16(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      a <- sketches.keys; b <- sketches.keys if a < b
+      if java.lang.Long.bitCount(sketches(a) ^ sketches(b)) <= 1
+    } yield (a, b, java.lang.Long.bitCount(sketches(a) ^ sketches(b)).toLong))
+      .toSet
+    val got = DedupOps.simhashHammingPairs(ten, maxHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === got.toSet.size, "pair emitted more than once")
+    assert(got.toSet === expected)
+    assert(expected.contains((1L, 2L, 0L)), "exact dup must be at distance 0")
+  }
 }

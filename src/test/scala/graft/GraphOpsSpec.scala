@@ -46,6 +46,24 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(math.abs(base.map(_._2).sum - 1.0) < 1e-6)
   }
 
+  test("hits: uniform on symmetric graph, L1-normalized, repartition-stable") {
+    val got = GraphOps.hits(docs(3), 2).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq === Seq(0L, 1L, 2L))
+    // vertex-transitive → uniform hubs AND authorities, each L1-normalized
+    assert(got.map(_._2).distinct.length === 1)
+    assert(got.map(_._3).distinct.length === 1)
+    assert(math.abs(got.map(_._2).sum - 1.0) < 1e-9)
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-9)
+    val base = GraphOps.hits(docs(50), 2).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val rep = GraphOps.hits(docs(50).repartition(7), 2).orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rep.toSeq === base.toSeq, "bit-identical across partitionings")
+    assert(base.map(_._3).distinct.length > 1, "asymmetry moves auth mass")
+    assert(math.abs(base.map(_._3).sum - 1.0) < 1e-6)
+  }
+
   test("inverted index: df counts presence, postings capped and sorted") {
     val corpus = Seq(
       (3L, "b a"),

@@ -31,4 +31,20 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(plan.contains("Expand")) // multi-column exact count-distinct
     assert(!plan.contains("Join") && !plan.contains("Union"))
   }
+
+  test("snapshot diff: added/removed/changed classified, unchanged dropped") {
+    val v1 = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0))
+      .toDF("k", "st", "price")
+    val v2 = Seq((1L, "A", 10.0), (2L, "B", 25.0), (4L, "D", 40.0))
+      .toDF("k", "st", "price")
+    val got = Relational.snapshotDiff(v1, v2, "k")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // k=1 unchanged (absent), k=2 changed, k=3 removed, k=4 added
+    assert(got.toSeq === Seq((2L, "changed"), (3L, "removed"), (4L, "added")))
+    val changed = Relational.snapshotDiff(v1, v2, "k")
+      .where($"k" === 2L).collect()(0)
+    assert(changed.getAs[Double]("old_price") === 20.0)
+    assert(changed.getAs[Double]("new_price") === 25.0)
+  }
 }

@@ -68,4 +68,18 @@ class SinkSpec extends AnyFunSuite {
     val back = spark.read.parquet(s"$base/$source/$date/*_datasets.parquet")
     assert(back.count() === 1)
   }
+
+  test("jsonl roundtrip preserves tricky strings byte-for-byte") {
+    import spark.implicits._
+    val tricky = "a \"quoted\" \\ backslash\nnewline\ttab €uro"
+    val df = Seq((1L, tricky)).toDF("doc_id", "text")
+    val path = Files.createTempDirectory("jsonl-spec").toString + "/t"
+    sources.JsonlStore.writeJsonl(df, path)
+    val back = sources.JsonlStore.readJsonl(spark, path,
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))).collect()
+    assert(back.length === 1)
+    assert(back(0).getLong(0) === 1L)
+    assert(back(0).getString(1) === tricky)
+  }
 }

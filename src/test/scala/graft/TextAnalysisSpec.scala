@@ -219,4 +219,23 @@ class TextAnalysisSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(got.toSeq === Seq((1L, 3L, 1L, 1.0 / 3.0), (2L, 2L, 2L, 1.0)))
   }
+
+  test("cosine pairs: hot terms pruned from the vector space, exact cut") {
+    import spark.implicits._
+    // "the" (df 6/6) is pruned at maxDfPct=50; on the surviving vocabulary
+    // docs 1,2 are identical → cosine exactly 1.0; doc 3 shares alpha with
+    // doc 1 → cosine 0.5, below the 4/5 threshold, excluded by the exact
+    // integer test 25·dot² ≥ 16·na·nb (25 < 64)
+    val corpus = Seq(
+      (1L, "the alpha beta"),
+      (2L, "the alpha beta"),
+      (3L, "the alpha gamma"),
+      (4L, "the delta epsilon"),
+      (5L, "the zeta eta"),
+      (6L, "the theta iota"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.cosinePairsIndexed(corpus, 4, 5, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 2L, 1.0)))
+  }
 }
