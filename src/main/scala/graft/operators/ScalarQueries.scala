@@ -15,6 +15,34 @@ object ScalarQueries {
   import Tables.t
 
   def entries: Seq[QueryEntry] = Seq(
+    // ---- Unicode canonicalization (NFC + accent fold) ---------------------
+    // see [[graft.functions.NormalizeText]]: native expression (doGenCode);
+    // input mixes composed literals (via translate) with raw combining
+    // marks so the normalizer has real work on every row
+    QueryEntry(
+      "q_fn_normalize",
+      (s, dir) => {
+        import graft.functions.NormalizeText
+        val raw = concat(translate(col("text"), "ae", "àé"),
+          lit(" à é"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), raw.as("raw"))
+          .select(col("doc_id"),
+            NormalizeText.nfc(s, col("raw")).as("nfc"),
+            NormalizeText.foldAccents(s, col("raw")).as("folded"),
+            length(NormalizeText.nfc(s, col("raw"))).as("nfc_len"),
+            length(col("raw")).as("raw_len"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          nfc_normalize(raw) AS nfc, strip_accents(raw) AS folded,
+          CAST(len(nfc_normalize(raw)) AS INT) AS nfc_len,
+          CAST(len(raw) AS INT) AS raw_len
+        FROM (SELECT doc_id,
+            replace(replace(text, 'a', 'à'), 'e', 'é')
+              || ' a' || chr(768) || ' e' || chr(769) AS raw
+          FROM documents) ORDER BY doc_id"""),
+    ),
     // ---- C4: file extension (Path.suffix semantics) ----------------------
     QueryEntry(
       "q_fn_file_type",

@@ -189,6 +189,23 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Recall@k of the IVF index against brute force — the evaluation loop
+    * every ANN deployment runs before trusting the index (tune nprobe until
+    * recall clears the bar). Both top-k sets are the existing operators'
+    * outputs; the overlap join is k×k-bounded. One row:
+    * (k, nprobe, n_overlap, recall).
+    */
+  def ivfRecall(emb: DataFrame, queryVecId: Long,
+                nprobe: Int, k: Int): DataFrame = {
+    val bf = bruteForceTopK(emb, queryVecId, k).select(col("vec_id"))
+    val ivf = ivfTopK(emb, queryVecId, nprobe, k).select(col("vec_id"))
+    bf.join(ivf, "vec_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(k.toLong).as("k"), lit(nprobe.toLong).as("nprobe"),
+        col("n_overlap"),
+        (col("n_overlap").cast("double") / k).as("recall"))
+  }
+
   def entries: Seq[QueryEntry] = Seq(
     QueryEntry(
       "q_cosine_topk",
@@ -220,6 +237,34 @@ object SimilarityOps {
           FROM e, q
           WHERE vec_id <> 0 AND label IN (SELECT label FROM probed)
           ORDER BY cos_sim DESC, vec_id LIMIT 10"""),
+    ),
+    // ---- ANN index evaluation: recall@k of IVF vs brute force --------------
+    // see [[ivfRecall]]; nprobe=2 (below q_ann_ivf's 3) so partial recall
+    // is actually possible and the metric is non-trivial
+    QueryEntry(
+      "q_ann_recall",
+      (s, dir) => ivfRecall(t(s, dir, "embeddings"), 0L, 2, 10),
+      Some(s"""WITH e AS (SELECT vec_id, label,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+          q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+          bf AS (SELECT vec_id FROM e, q WHERE vec_id <> 0
+                 ORDER BY ${sqlCosine("v", "qv")} DESC, vec_id LIMIT 10),
+          flat AS (SELECT label, generate_subscripts(v, 1) AS pos,
+                          unnest(v) AS x FROM e),
+          cm AS (SELECT label, pos,
+                   CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m
+                 FROM flat GROUP BY label, pos),
+          cent AS (SELECT label, list(m ORDER BY pos) AS cv FROM cm GROUP BY label),
+          probed AS (SELECT label FROM cent, q
+                     ORDER BY ${sqlCosine("cv", "qv")} DESC, label LIMIT 2),
+          ivf AS (SELECT vec_id FROM e, q
+                  WHERE vec_id <> 0 AND label IN (SELECT label FROM probed)
+                  ORDER BY ${sqlCosine("v", "qv")} DESC, vec_id LIMIT 10)
+          SELECT CAST(10 AS BIGINT) AS k, CAST(2 AS BIGINT) AS nprobe,
+                 count(*) AS n_overlap,
+                 CAST(count(*) AS DOUBLE) / 10 AS recall
+          FROM bf JOIN ivf USING (vec_id)"""),
     ),
     // near-duplicate pairs by embedding cosine within a label block
     QueryEntry(

@@ -236,6 +236,40 @@ object TextAnalysis {
     byTerm.select(col("doc_id"), score.as("bm25"))
   }
 
+  /** Dictionary (vocabulary) encoding: dense integer token ids assigned by
+    * corpus frequency (rank 1 = most frequent; ties broken by term), docs
+    * re-emitted as position-ordered id sequences with out-of-vocabulary
+    * tokens mapped to the reserved id 0 — the tokenizer-table step every
+    * training pipeline runs before packing. Scale shape: one tokenize
+    * shuffle for the frequency table; the rank is a window over the
+    * VOCABULARY (not the corpus — bounded by distinct terms; at 100 TB
+    * the top-`maxVocab` cut runs as TopK before the rank); the encode join
+    * broadcasts the dictionary; sequence re-assembly rides the doc_id
+    * shuffle with an in-array sort, never an ordered collect.
+    */
+  def vocabEncode(docs: org.apache.spark.sql.DataFrame,
+                  maxVocab: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .where(length(col("term")) > 0)
+    val freq = tok.groupBy("term").agg(count(lit(1)).as("freq"))
+    val dict = freq
+      .withColumn("token_id", row_number()
+        .over(Window.orderBy(col("freq").desc, col("term"))).cast("long"))
+      .filter(col("token_id") <= maxVocab)
+      .select(col("term"), col("token_id"))
+    tok.join(broadcast(dict), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"),
+          coalesce(col("token_id"), lit(0L)).as("tid")))),
+        s => s.getField("tid")).as("token_ids"))
+      .select(col("doc_id"), col("token_ids"),
+        size(filter(col("token_ids"), _ === 0L)).as("n_oov"))
+  }
+
   /** All-pairs document cosine similarity over term-frequency vectors via
     * the inverted index — the Bayardo et al. WWW'07 all-pairs shape. Hot
     * terms (document frequency above `maxDfPct`% of the corpus) are pruned
@@ -880,6 +914,27 @@ object TextAnalysis {
             + coalesce(max(CASE WHEN term = 'scan' THEN weight END), 0e0)
               AS bm25
           FROM w GROUP BY doc_id ORDER BY doc_id"""),
+    ),
+    // ---- vocabulary dictionary encoding (token ids by corpus rank) --------
+    // see [[vocabEncode]]; vocab capped at 64 so OOV (id 0) is exercised
+    QueryEntry(
+      "q_vocab_encode",
+      (s, dir) => vocabEncode(t(s, dir, "documents"), 64).orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents),
+          st AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos FROM d),
+          tok AS (SELECT doc_id, pos, w[pos] AS term FROM st
+                  WHERE len(w[pos]) > 0),
+          freq AS (SELECT term, count(*) AS freq FROM tok GROUP BY 1),
+          dict AS (SELECT term, row_number()
+                     OVER (ORDER BY freq DESC, term) AS token_id
+                   FROM freq QUALIFY token_id <= 64),
+          enc AS (SELECT doc_id,
+                    list(coalesce(token_id, 0) ORDER BY pos) AS token_ids
+                  FROM tok LEFT JOIN dict USING (term) GROUP BY doc_id)
+          SELECT doc_id, token_ids,
+            CAST(len(list_filter(token_ids, x -> x = 0)) AS INT) AS n_oov
+          FROM enc ORDER BY doc_id"""),
     ),
     // ---- all-pairs TF-cosine via the inverted index ------------------------
     // see [[cosinePairsIndexed]]: df-capped vector space, postings

@@ -477,6 +477,117 @@ final class Glacier(val root: String) {
         note = s"compact $table")
     }
 
+  /** Z-order clustering compaction: rewrite `table` with rows range-
+    * partitioned and sorted by the Morton interleaving of the named numeric
+    * columns, so each output part covers a small HYPER-RECTANGLE of the
+    * clustering space and the per-part zone maps (footer min/max recorded
+    * in the manifest) prune [[readBetween]] reads on ANY clustered column —
+    * a lexicographic sort only ever serves its leading key. This is the
+    * multi-dimensional data-skipping layout (Iceberg/Delta `ZORDER BY`) a
+    * 100 TB corpus wants for tables probed by more than one predicate
+    * (host AND fetch-time on a crawl log; doc_id AND quality on a corpus).
+    *
+    * Columns are linearly bucketed into `bitsPerCol` bits via one tiny
+    * min/max agg (a 1-row driver job — compaction is a maintenance op);
+    * the interleave itself is a pure column expression (shifts/masks,
+    * whole-stage codegen'd, no UDF). Nulls order first (bucket 0).
+    */
+  def compactZOrdered(spark: SparkSession, table: String, cols: Seq[String],
+                      parts: Int = 8, bitsPerCol: Int = 16): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, min, max}
+    require(cols.nonEmpty && cols.size * bitsPerCol <= 63,
+      s"zorder: need 1..${63 / bitsPerCol} columns at $bitsPerCol bits")
+    read(spark, table).map { df =>
+      val aggs = cols.flatMap(c =>
+        Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val bucketed = cols.zipWithIndex.map { case (c, i) =>
+        val mn = if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i)
+        val mx = if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1)
+        zBucket(col(c), mn, mx, bitsPerCol)
+      }
+      val clustered = df
+        .withColumn("__z", mortonKey(bucketed, bitsPerCol))
+        .repartitionByRange(parts, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+      commit(spark, Seq(TableWrite(table, clustered, Replace)),
+        note = s"zorder $table on ${cols.mkString(",")}")
+    }
+  }
+
+  // ---- Bloom point-lookup index ---------------------------------------------
+
+  /** Build a per-part Bloom index for `column` at the current snapshot: ONE
+    * column-pruned scan groups rows by their part file (input_file_name)
+    * and folds each part's values into a fixed-size bit set (k md5-derived
+    * positions per value — the engine's portable-hash idiom), persisted as
+    * a sidecar `meta/bloom-<snap>.<table>.<column>.json`. Zone maps
+    * ([[readBetween]]) skip by RANGE; this index skips by MEMBERSHIP — the
+    * layout a resumable crawl wants for "which part may hold this URL"
+    * against a high-cardinality key whose min/max spans everything. At
+    * 100 TB this sidecar is Iceberg's bloom-filter content metadata; the
+    * index is bounded by parts × bits regardless of row count.
+    * Returns the number of indexed parts (0 = table missing/empty).
+    */
+  def buildBloomIndex(spark: SparkSession, table: String, colName: String,
+                      bits: Int = 4096, hashes: Int = 4): Int = {
+    import org.apache.spark.sql.functions._
+    val snap = currentSnapshotId.getOrElse(return 0)
+    read(spark, table, Some(snap)) match {
+      case None => 0
+      case Some(df) =>
+        val target = org.apache.spark.sql.functions.col(colName)
+        val positions = (0 until hashes).map(i =>
+          pmod(conv(substring(md5(concat(lit(s"$i:"),
+            target.cast("string"))), 1, 8), 16, 10).cast("long"),
+            lit(bits.toLong)).cast("int"))
+        val perFile = df
+          .select(input_file_name().as("__file"),
+            explode(array(positions: _*)).as("__pos"))
+          .groupBy("__file")
+          .agg(collect_set(org.apache.spark.sql.functions.col("__pos"))
+            .as("__set"))
+          .collect()
+          .map(r => r.getString(0) -> r.getSeq[Int](1).sorted.toList)
+          .toMap
+        val json = JObject(
+          "snapshot" -> JInt(snap), "table" -> JString(table),
+          "column" -> JString(colName), "bits" -> JInt(bits),
+          "hashes" -> JInt(hashes),
+          "parts" -> JObject(perFile.toList.map { case (f, ps) =>
+            f -> JArray(ps.map(p => JInt(BigInt(p)))) }))
+        val p = metaDir.resolve(s"bloom-$snap.$table.$colName.json")
+        Files.writeString(p, JsonMethods.compact(JsonMethods.render(json)))
+        perFile.size
+    }
+  }
+
+  /** Point-lookup read through the Bloom index: open only the parts whose
+    * bit set claims `value` (all k positions present). None = NO part can
+    * contain it (definite absence at zero I/O — false positives open a
+    * part needlessly, false negatives cannot happen). Falls back to the
+    * full [[read]] when no index exists for the current snapshot/column.
+    */
+  def readPoint(spark: SparkSession, table: String, colName: String,
+                value: String): Option[DataFrame] = {
+    val snap = currentSnapshotId.getOrElse(return None)
+    val p = metaDir.resolve(s"bloom-$snap.$table.$colName.json")
+    if (!Files.exists(p)) return read(spark, table, Some(snap))
+    val j = JsonMethods.parse(Files.readString(p))
+    val bits = (j \ "bits").asInstanceOf[JInt].num.toInt
+    val hashes = (j \ "hashes").asInstanceOf[JInt].num.toInt
+    val want = Glacier.bloomPositions(value, bits, hashes)
+    val parts = (j \ "parts").asInstanceOf[JObject].obj.collect {
+      case (file, JArray(ps))
+          if want.forall(w => ps.exists {
+            case JInt(b) => b.toInt == w
+            case _       => false
+          }) => file
+    }
+    if (parts.isEmpty) None else Some(spark.read.parquet(parts: _*))
+  }
+
   /** Delete all snapshots except the most recent `keepLast`: expired
     * manifest files are removed, then every `data/snap-*` directory not
     * referenced by a retained manifest is deleted. Time travel to retained
@@ -650,6 +761,47 @@ object Glacier {
     * time: physical-ish type tag ("long"/"int"/"double"/"float"/"boolean"/
     * "string"), min/max rendered as strings (None when the part is
     * all-null), and the null count. */
+  /** Driver-side twin of the executor-side md5 bloom positions (the
+    * conv(substring(md5("i:" || v), 1, 8), 16, 10) % bits idiom) — MUST
+    * stay in lockstep with [[Glacier.buildBloomIndex]]'s column form. */
+  private[tables] def bloomPositions(value: String, bits: Int,
+                                     hashes: Int): Seq[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until hashes).map { i =>
+      md.reset()
+      val d = md.digest(s"$i:$value".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      val hex = d.take(4).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % bits).toInt
+    }
+  }
+
+  /** Order-preserving linear bucket of a numeric column into [0, 2^bits):
+    * nulls and NaNs land in bucket 0, values are clamped to the recorded
+    * [mn, mx] range. Pure column arithmetic (codegen'd). */
+  private[tables] def zBucket(c: org.apache.spark.sql.Column,
+                              mn: Double, mx: Double, bits: Int)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{coalesce, greatest, least, lit}
+    val top = (1L << bits) - 1
+    val span = if (mx > mn) mx - mn else 1.0
+    val scaled = (c.cast("double") - lit(mn)) / lit(span) * lit(top.toDouble)
+    least(greatest(coalesce(scaled.cast("long"), lit(0L)), lit(0L)), lit(top))
+  }
+
+  /** Morton interleave of already-bucketed columns: bit b of column i maps
+    * to output bit b·ncols + i (disjoint bits, so the sum IS the OR). */
+  private[tables] def mortonKey(bucketed: Seq[org.apache.spark.sql.Column],
+                                bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    val n = bucketed.size
+    val terms = for {
+      b <- 0 until bits
+      (c, i) <- bucketed.zipWithIndex
+    } yield shiftleft(shiftright(c, b).bitwiseAND(lit(1L)), b * n + i)
+    terms.reduce[org.apache.spark.sql.Column](_ + _)
+  }
+
   final case class ColStats(tpe: String, min: Option[String],
                             max: Option[String], nulls: Long)
 

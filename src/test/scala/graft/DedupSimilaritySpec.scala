@@ -355,6 +355,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got8.toSeq === got.toSeq)
   }
 
+  test("ivf recall: probing every partition reproduces brute force exactly") {
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    // 10 labels in the fixture: nprobe=10 probes ALL partitions → the IVF
+    // candidate set IS the corpus → recall must be exactly 1.0
+    val full = SimilarityOps.ivfRecall(emb, 0L, nprobe = 10, k = 10).collect()(0)
+    assert(full.getAs[Long]("n_overlap") === 10L)
+    assert(full.getAs[Double]("recall") === 1.0)
+    // partial probe: recall is a valid fraction of k
+    val part = SimilarityOps.ivfRecall(emb, 0L, nprobe = 1, k = 10).collect()(0)
+    val r = part.getAs[Double]("recall")
+    assert(r >= 0.0 && r <= 1.0)
+    assert(part.getAs[Long]("n_overlap") === math.round(r * 10))
+  }
+
   test("simhash pairs: block LSH == brute-force hamming<=1, no dup pairs") {
     // ten docs incl. an exact dup (hamming 0) and assorted texts; the block
     // LSH must return EXACTLY the brute-force pairs at distance <= 1

@@ -86,6 +86,54 @@ class GlacierStatsSpec extends AnyFunSuite {
     assert(pruned.filter(col("round") === 3).count() === 100)
   }
 
+  test("bloom index: point lookups skip parts, definite absence is free") {
+    val g = new Glacier(tmpRoot())
+    threeRounds(g) // 3 parts; url = u<round>-<0..99>
+    assert(g.buildBloomIndex(spark, "docs", "url") === 3)
+    // present URL: only the claiming part opens; the row is found
+    val hit = g.readPoint(spark, "docs", "url", "u2-50").get
+    assert(hit.inputFiles.length === 1)
+    assert(hit.filter(col("url") === "u2-50").count() === 1)
+    // absent URL: no part claims it → None, zero I/O
+    assert(g.readPoint(spark, "docs", "url", "definitely-absent-xyz").isEmpty)
+    // un-indexed column: conservative fallback to the full read
+    assert(g.readPoint(spark, "docs", "seq", "1000").get
+      .inputFiles.length === 3)
+  }
+
+  test("zorder compaction: readBetween prunes on EITHER clustered column") {
+    val g = new Glacier(tmpRoot())
+    // full 64×64 grid, one row per cell — two INDEPENDENT dimensions
+    val df = spark.range(4096).select(
+      (col("id") % 64).as("x"),
+      expr("(id div 64) % 64").as("y"), // div: integral — `/` is double
+      col("id").as("payload"))
+    g.commit(spark, Seq(g.TableWrite("grid", df.repartition(8), g.Append)))
+    // round-robin parts each span ~the full x AND y range → nothing prunes
+    val before = g.readBetween(spark, "grid", "y", 0L, 7L).get
+    assert(before.inputFiles.length === 8)
+
+    g.compactZOrdered(spark, "grid", Seq("x", "y"),
+      parts = 16, bitsPerCol = 8)
+
+    // rows preserved exactly through the rewrite
+    val all = g.read(spark, "grid").get
+    assert(all.count() === 4096)
+    assert(all.agg(sum(col("payload"))).collect()(0).getLong(0)
+      === (0L until 4096L).sum)
+
+    // 16 z-range parts ≈ aligned 16×16 squares of the grid: a 1/8-range
+    // predicate on EITHER dimension touches only the 4 squares of one
+    // stripe — a lexicographic (x, y) sort would serve only x
+    val px = g.readBetween(spark, "grid", "x", 0L, 7L).get
+    val py = g.readBetween(spark, "grid", "y", 0L, 7L).get
+    assert(px.inputFiles.length < 8, s"x opened ${px.inputFiles.length}/16")
+    assert(py.inputFiles.length < 8, s"y opened ${py.inputFiles.length}/16")
+    // pruned reads stay supersets of the true matches
+    assert(px.filter(col("x") <= 7).count() === 8 * 64)
+    assert(py.filter(col("y") <= 7).count() === 8 * 64)
+  }
+
   test("nested/array columns are skipped, not mis-statted") {
     val g = new Glacier(tmpRoot())
     val df = spark.range(10).select(

@@ -220,6 +220,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 3L, 1L, 1.0 / 3.0), (2L, 2L, 2L, 1.0)))
   }
 
+  test("vocab encode: rank by freq desc then term, OOV → 0, order kept") {
+    import spark.implicits._
+    // freqs: b=3, a=2, c=1, zz=1 → ids b=1, a=2, c=3 (tie c<zz), zz=4;
+    // maxVocab=3 drops zz to the reserved OOV id 0
+    val corpus = Seq(
+      (1L, "b a b c"),
+      (2L, "a b zz"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabEncode(corpus, 3).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getInt(2)))
+    assert(got(0) === ((1L, Seq(1L, 2L, 1L, 3L), 0)))
+    assert(got(1) === ((2L, Seq(2L, 1L, 0L), 1)))
+  }
+
   test("cosine pairs: hot terms pruned from the vector space, exact cut") {
     import spark.implicits._
     // "the" (df 6/6) is pruned at maxDfPct=50; on the surviving vocabulary

@@ -147,4 +147,29 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(rows("weird") === ("other", "other"))
     assert(rows("pdb") === ("coordinate", "other"))
   }
+
+  test("normalize_text: NFC composes, accent fold strips, ascii unchanged") {
+    import graft.functions.NormalizeText
+    val df = Seq(
+      (1L, "plain ascii"),
+      (2L, "café"),  // composed é
+      (3L, "café"), // decomposed e + combining acute
+      (4L, "à ñ ö"),
+    ).toDF("id", "t")
+    val got = df.select(col("id"),
+        NormalizeText.nfc(spark, col("t")).as("n"),
+        NormalizeText.foldAccents(spark, col("t")).as("f"))
+      .orderBy("id").collect().map(r => (r.getString(1), r.getString(2)))
+    assert(got(0) === (("plain ascii", "plain ascii")))
+    assert(got(1) === (("café", "cafe")))
+    // decomposed input composes to the SAME bytes as the composed literal
+    assert(got(2) === (("café", "cafe")))
+    assert(got(3)._2 === "a n o")
+    // interpreted eval agrees with the codegen kernel
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val e = NormalizeText(Literal(UTF8String.fromString("café"),
+      org.apache.spark.sql.types.StringType), stripAccents = false)
+    assert(e.eval(null).toString === "café")
+  }
 }
