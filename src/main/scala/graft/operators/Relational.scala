@@ -340,6 +340,53 @@ object Relational {
           FROM events JOIN customer ON user_id + 1 = c_custkey
           GROUP BY 1 ORDER BY 1"""),
     ),
+    // ---- CUBE multi-dimensional aggregate -----------------------------------
+    // all 2^d grouping sets in ONE pass (Catalyst plans an Expand feeding a
+    // single partial-agg'd shuffle — d scans and a union would read the
+    // table 4×); grouping_id disambiguates real NULLs from subtotal rows.
+    // Spark's grouping_id and DuckDB's GROUPING share the first-arg-is-MSB
+    // bit order (verified).
+    QueryEntry(
+      "q_cube",
+      (s, dir) => t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(28,6)")).cast("double")
+            .as("total"),
+          grouping_id().as("gid"))
+        .orderBy("gid", "o_orderstatus", "o_orderpriority"),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+            CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+          ORDER BY gid, o_orderstatus, o_orderpriority"""),
+    ),
+    // ---- sliding-frame window aggregate --------------------------------------
+    // ROWS BETWEEN 2 PRECEDING AND CURRENT ROW per user — the moving-window
+    // twin of q_window_running's cumulative frame; ONE user_id shuffle, sums
+    // in decimal so the 3-row fold is order-independent across engines
+    QueryEntry(
+      "q_window_sliding",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("value"),
+            sum(col("value").cast("decimal(28,6)")).over(w).cast("double")
+              .as("mov_sum"),
+            count(lit(1)).over(w).as("mov_n"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, value,
+            CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+              AS mov_sum,
+            count(*) OVER w AS mov_n
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+          ORDER BY event_id"""),
+    ),
     // ---- snapshot diff / CDC between two table versions ---------------------
     // see [[snapshotDiff]]: keyed full-outer join, the dataset-versioning
     // primitive (what changed between two Glacier snapshots of a corpus)

@@ -35,6 +35,13 @@ final case class ReplayVerdict(doc_id: String, content_hash: String,
 /** One replayed event for the windowed-aggregation entry. */
 final case class WindowEvent(ts: Timestamp, event_type: String, value: Double)
 
+/** One replayed event for the stream-static enrichment entry. */
+final case class EnrichEvent(ts: Timestamp, user_id: Long, value: Double)
+
+/** Oracle-facing enriched windowed count (top level for codegen). */
+final case class SegmentWindowCount(window_start: Timestamp, segment: String,
+    n: Long, total: Double)
+
 /** Oracle-facing windowed-count row (top level for codegen, see above). */
 final case class WindowCount(window_start: Timestamp, event_type: String,
     n: Long, total: Double)
@@ -205,6 +212,82 @@ object StreamQueries {
             event_type, value
           FROM events)
         SELECT window_start, event_type, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+        FROM b GROUP BY 1, 2 ORDER BY 1, 2"""),
+    ),
+
+    // ---- stream-static broadcast enrichment through the real engine --------
+    // The fourth canonical streaming op: the event stream joined to a
+    // STATIC dimension (a crawl enriching fetched URLs with host metadata).
+    // The static side is a plain batch DataFrame — Structured Streaming
+    // re-plans and broadcasts it under the stream side every micro-batch;
+    // the join itself holds NO state, only the downstream windowed count
+    // does. The flush sentinel (user -1) advances the watermark from the
+    // SOURCE even though the inner join drops its row, so every real
+    // window closes and Append emits it. Oracle = plain batch join +
+    // epoch-floor rollup.
+    QueryEntry(
+      "q_stream_static_join",
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val rows = Tables.t(s, dir, "events")
+          .select(col("ts").cast("timestamp"), col("user_id"),
+            col("value").cast("double"))
+          .collect()
+          .map(r => EnrichEvent(r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+        if (rows.isEmpty) {
+          s.createDataset(Seq.empty[SegmentWindowCount]).toDF()
+        } else {
+          val weekMs = 7L * 86400000L
+          val batches = rows.groupBy(e => e.ts.getTime / weekMs)
+            .toSeq.sortBy(_._1).map(_._2.toSeq)
+          val maxRealTs = rows.map(_.ts.getTime).max
+          val flush = EnrichEvent(
+            new Timestamp(maxRealTs + 52L * weekMs), -1L, 0.0)
+          val dim = Tables.t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment"))
+
+          val mem = MemoryStream[EnrichEvent]
+          val sinkName = "q_stream_static_join_sink"
+          s.catalog.dropTempView(sinkName)
+          val agg = mem.toDS()
+            .withWatermark("ts", "1 hour")
+            .join(broadcast(dim), col("user_id") + 1 === col("c_custkey"))
+            .groupBy(window(col("ts"), "6 hours"), col("c_mktsegment"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(28,6)")).as("total_dec"))
+          val q = withStreamParts(s) {
+            agg
+              .select(col("window.start").as("window_start"),
+                col("c_mktsegment").as("segment"), col("n"),
+                col("total_dec").cast("double").as("total"))
+              .writeStream.format("memory").queryName(sinkName)
+              .option("checkpointLocation", checkpointDir())
+              .outputMode("append").start()
+          }
+          val out =
+            try {
+              batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+              mem.addData(Seq(flush))
+              q.processAllAvailable()
+              s.table(sinkName).collect().map(r => SegmentWindowCount(
+                r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+            } finally {
+              q.stop()
+              s.catalog.dropTempView(sinkName)
+            }
+          s.createDataset(out.toSeq).toDF()
+            .orderBy("window_start", "segment")
+        }
+      },
+      Some("""WITH b AS (SELECT
+            TIMESTAMP '1970-01-01 00:00:00'
+              + CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
+                * INTERVAL 1 SECOND AS window_start,
+            c_mktsegment AS segment, value
+          FROM events JOIN customer ON user_id + 1 = c_custkey)
+        SELECT window_start, segment, count(*) AS n,
           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
         FROM b GROUP BY 1, 2 ORDER BY 1, 2"""),
     ),

@@ -32,6 +32,26 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Join") && !plan.contains("Union"))
   }
 
+  test("cube: one Expand + one aggregate pass, grouping_id disambiguates") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(("A", "x", 1.0), ("A", "y", 2.0), ("B", "x", 3.0))
+      .toDF("s", "p", "v")
+    val q = df.cube($"s", $"p")
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+    val rows = q.collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3)))
+    // 2^2 grouping sets from ONE pass: no Union of per-set scans
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"))
+    assert(!plan.contains("Union"))
+    assert(rows.count(_._4 == 0L) === 3) // detail rows
+    val grand = rows.filter(_._4 == 3L)
+    assert(grand.length === 1 && grand.head._3 === 3L)
+    assert(rows.count(_._4 == 1L) === 2) // (s) subtotals: A, B
+    assert(rows.count(_._4 == 2L) === 2) // (p) subtotals: x, y
+  }
+
   test("snapshot diff: added/removed/changed classified, unchanged dropped") {
     val v1 = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0))
       .toDF("k", "st", "price")
