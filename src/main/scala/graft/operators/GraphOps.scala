@@ -112,6 +112,34 @@ object GraphOps {
       .select(col("node"), col("h").as("hub"), col("a").as("auth"))
   }
 
+  /** Exact triangle count over the undirected link graph — the classic
+    * graph-shape statistic (community density in a host graph; a crawl
+    * scheduler reads high triangle density as a link farm / mirror
+    * cluster). The standard order-canonicalization trick bounds the join:
+    * every undirected edge is kept once as (lo, hi), so each triangle
+    * {a<b<c} is counted exactly once via wedge (a→b, b→c) ∩ edge (a→c) —
+    * two equi-join shuffles over the edge table, never an all-pairs
+    * expansion; at 100 TB the edge table is bucketed by `src` and degree
+    * skew is handled by the standard high-degree-vertex split (the salted
+    * join pattern, see q_skew_join_salted).
+    */
+  def triangleCount(docs: DataFrame): DataFrame = {
+    val nDf = docs.agg(count(lit(1)).as("n_docs"))
+    val nodes = docs.select(col("doc_id").as("node"))
+    val und = syntheticEdges(nodes, nDf)
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wedges = und.as("e1").join(und.as("e2"),
+        col("e1.hi") === col("e2.lo"))
+      .select(col("e1.lo").as("a"), col("e1.hi").as("b"),
+        col("e2.hi").as("c"))
+    wedges.join(und.as("e3"),
+        col("a") === col("e3.lo") && col("c") === col("e3.hi"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   private val sqlN = "(SELECT count(*) FROM documents)"
   private def sqlStep(prev: String, i: Int): String =
     s"""s$i AS (SELECT e.dst AS node,
@@ -150,6 +178,20 @@ object GraphOps {
           ${sqlHitsIter(2, 1)}
           SELECT h2.node, h2.h AS hub, a2.a AS auth
           FROM h2 JOIN a2 USING (node) ORDER BY node"""),
+    ),
+    QueryEntry(
+      "q_triangle_count",
+      (s, dir) => triangleCount(t(s, dir, "documents")),
+      Some(s"""WITH nodes AS (SELECT doc_id AS node FROM documents),
+          e0 AS (SELECT node AS src, (node*7+1) % $sqlN AS dst FROM nodes
+                 UNION ALL SELECT node, (node*13+5) % $sqlN FROM nodes
+                 UNION ALL SELECT node, (node*31+11) % $sqlN FROM nodes),
+          und AS (SELECT DISTINCT least(src, dst) AS lo,
+                         greatest(src, dst) AS hi
+                  FROM e0 WHERE dst <> src)
+          SELECT count(*) AS n_triangles
+          FROM und e1 JOIN und e2 ON e1.hi = e2.lo
+               JOIN und e3 ON e1.lo = e3.lo AND e2.hi = e3.hi"""),
     ),
     QueryEntry(
       "q_pagerank",

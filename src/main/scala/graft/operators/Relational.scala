@@ -340,6 +340,98 @@ object Relational {
           FROM events JOIN customer ON user_id + 1 = c_custkey
           GROUP BY 1 ORDER BY 1"""),
     ),
+    // ---- content-addressed table checksum (pipeline integrity gate) ---------
+    // order/partitioning-independent fingerprint per table: sum + xor of a
+    // 32-bit md5 prefix over the canonical row rendering — what a multi-hop
+    // pipeline asserts between stages ("the rows that left stage N arrived
+    // at stage N+1"). One partial-agg'd scan per table, 1-row outputs.
+    QueryEntry(
+      "q_table_checksum",
+      (s, dir) => {
+        def sig(table: String, keyCols: Seq[String]) = {
+          val rendered = concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
+          val h = conv(substring(md5(rendered), 1, 8), 16, 10).cast("long")
+          t(s, dir, table).agg(
+            count(lit(1)).as("n_rows"),
+            sum(h).as("hash_sum"),
+            max(h).as("hash_max"))
+            .select(lit(table).as("table_name"), col("n_rows"),
+              col("hash_sum"), col("hash_max"))
+        }
+        // rendered columns are ints/strings ONLY — double/timestamp text
+        // renderings differ across engines (the q_profile portability rule)
+        sig("orders", Seq("o_orderkey", "o_orderstatus", "o_orderpriority"))
+          .unionByName(sig("customer", Seq("c_custkey", "c_mktsegment")))
+          .orderBy("table_name")
+      },
+      Some("""SELECT * FROM (
+            SELECT 'orders' AS table_name, count(*) AS n_rows,
+              CAST(sum(CAST(('0x' || substr(md5(
+                  o_orderkey || '|' || o_orderstatus || '|' || o_orderpriority
+                ), 1, 8)) AS BIGINT)) AS BIGINT) AS hash_sum,
+              CAST(max(CAST(('0x' || substr(md5(
+                  o_orderkey || '|' || o_orderstatus || '|' || o_orderpriority
+                ), 1, 8)) AS BIGINT)) AS BIGINT) AS hash_max
+            FROM orders
+            UNION ALL
+            SELECT 'customer', count(*),
+              CAST(sum(CAST(('0x' || substr(md5(
+                  c_custkey || '|' || c_mktsegment), 1, 8)) AS BIGINT)) AS BIGINT),
+              CAST(max(CAST(('0x' || substr(md5(
+                  c_custkey || '|' || c_mktsegment), 1, 8)) AS BIGINT)) AS BIGINT)
+            FROM customer) ORDER BY table_name"""),
+    ),
+    // ---- ntile decile bucketing (quality-tier assignment) --------------------
+    // the curriculum/filter-tier primitive: rank docs into 10 equal-depth
+    // quality buckets; ONE global-sort shuffle of (id, score) pairs only —
+    // the narrow frame makes the range partitioner's sort cheap at scale
+    QueryEntry(
+      "q_ntile_quality",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), length(col("text")).cast("long").as("score"))
+        d.withColumn("decile",
+          ntile(10).over(Window.orderBy(col("score").desc, col("doc_id")))
+            .cast("long"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n"), min(col("score")).as("min_score"),
+            max(col("score")).as("max_score"))
+          .orderBy("decile")
+      },
+      Some("""WITH d AS (SELECT doc_id, len(text) AS score FROM documents),
+            q AS (SELECT doc_id, score,
+              ntile(10) OVER (ORDER BY score DESC, doc_id) AS decile FROM d)
+          SELECT decile, count(*) AS n, min(score) AS min_score,
+                 max(score) AS max_score
+          FROM q GROUP BY decile ORDER BY decile"""),
+    ),
+    // ---- INTERSECT / EXCEPT set operators ------------------------------------
+    // Catalyst rewrites both to distinct-aggregated semi/anti joins — one
+    // key shuffle each, no materialized distinct-then-join-then-distinct
+    // chain; the remaining classical set operators (D3/D5 cover UNION
+    // [ALL], q_table_diff covers EXCEPT ALL's CDC use)
+    QueryEntry(
+      "q_set_ops",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val a = orders.filter(pmod(col("o_orderkey"), lit(2L)) === 0)
+          .select(col("o_custkey"))
+        val b = orders.filter(pmod(col("o_orderkey"), lit(3L)) === 0)
+          .select(col("o_custkey"))
+        a.intersect(b).withColumn("op", lit("intersect"))
+          .unionByName(a.except(b).withColumn("op", lit("except")))
+          .orderBy("op", "o_custkey")
+      },
+      Some("""WITH a AS (SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0),
+            b AS (SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0)
+          SELECT o_custkey, 'intersect' AS op
+            FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+          UNION ALL
+          SELECT o_custkey, 'except' AS op
+            FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+          ORDER BY op, o_custkey"""),
+    ),
     // ---- CUBE multi-dimensional aggregate -----------------------------------
     // all 2^d grouping sets in ONE pass (Catalyst plans an Expand feeding a
     // single partial-agg'd shuffle — d scans and a union would read the

@@ -64,6 +64,20 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(math.abs(base.map(_._3).sum - 1.0) < 1e-6)
   }
 
+  test("triangle count: K3 has one, the N=4 affine 4-cycle has none") {
+    // N=3: the affine links form the complete graph K3 → exactly 1 triangle
+    val k3 = GraphOps.triangleCount(docs(3)).collect()(0).getLong(0)
+    assert(k3 === 1L)
+    // N=4: links reduce to the 4-cycle {01,12,23,03} → 0 triangles
+    val c4 = GraphOps.triangleCount(docs(4)).collect()(0).getLong(0)
+    assert(c4 === 0L)
+    // determinism under repartition (count is exact, not sampled)
+    val n50 = GraphOps.triangleCount(docs(50)).collect()(0).getLong(0)
+    val n50r = GraphOps.triangleCount(docs(50).repartition(7))
+      .collect()(0).getLong(0)
+    assert(n50 === n50r)
+  }
+
   test("inverted index: df counts presence, postings capped and sorted") {
     val corpus = Seq(
       (3L, "b a"),
