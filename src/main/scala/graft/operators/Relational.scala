@@ -32,6 +32,14 @@ object Relational {
 
   import Tables.t
 
+  /** One query text, two engines (q_sql_surface): must stay ANSI-portable —
+    * explicit CASTs, no engine-specific functions. */
+  private val SqlSurfaceQuery: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   def entries: Seq[QueryEntry] = Seq(
     // ---- A-ops: aggregation --------------------------------------------
     QueryEntry(
@@ -339,6 +347,57 @@ object Relational {
             CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
           FROM events JOIN customer ON user_id + 1 = c_custkey
           GROUP BY 1 ORDER BY 1"""),
+    ),
+    // ---- ANSI SQL surface: the same query text runs on Spark AND DuckDB ----
+    // a user of the reference can keep their SQL verbatim: spark.sql over
+    // temp views, oracle = the identical string — the declarative surface
+    // Catalyst optimizes exactly like the DataFrame form
+    QueryEntry(
+      "q_sql_surface",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders")
+        t(s, dir, "customer").createOrReplaceTempView("customer")
+        s.sql(SqlSurfaceQuery)
+      },
+      Some(SqlSurfaceQuery),
+    ),
+    // ---- Pearson correlation via exact integer moments ----------------------
+    // corr(quantity, discount·100) from the five raw moments, every one an
+    // EXACT BIGINT (both variables are integral after the portable round;
+    // magnitudes bounded < 2^53 at any sf so every cast to double is
+    // exact) — the one-pass profiling statistic `corr()` computes with
+    // order-dependent float accumulation, rebuilt order-independent.
+    // ONE scan, ONE 1-row aggregate.
+    QueryEntry(
+      "q_corr_stats",
+      (s, dir) => {
+        val d = t(s, dir, "lineitem").select(
+          col("l_quantity").cast("long").as("x"),
+          round(col("l_discount") * 100).cast("long").as("y"))
+        d.agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy"))
+          .select(col("n"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")) *
+               sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double")))).as("pearson_r"))
+      },
+      Some("""WITH d AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+              CAST(round(l_discount * 100) AS BIGINT) AS y FROM lineitem),
+          m AS (SELECT count(*) AS n,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(x*x) AS BIGINT) AS sxx,
+              CAST(sum(y*y) AS BIGINT) AS syy,
+              CAST(sum(x*y) AS BIGINT) AS sxy FROM d)
+          SELECT n,
+            CAST(n*sxy - sx*sy AS DOUBLE) /
+              (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+               * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS pearson_r
+          FROM m"""),
     ),
     // ---- content-addressed table checksum (pipeline integrity gate) ---------
     // order/partitioning-independent fingerprint per table: sum + xor of a

@@ -80,6 +80,35 @@ object TemporalJoins {
   }
 
   def entries: Seq[QueryEntry] = Seq(
+    // ---- weekly cohort retention --------------------------------------------
+    // the product-analytics staple: users bucketed by first-active week
+    // (cohort), counted at each later week offset. Both aggregations and
+    // the join share the user_id key, so one shuffle partitioning serves
+    // the distinct, the cohort min, and the join; the final rollup's
+    // grain is cohorts × offsets (tiny at any corpus size).
+    QueryEntry(
+      "q_retention_cohorts",
+      (s, dir) => {
+        val uw = t(s, dir, "events")
+          .select(col("user_id"),
+            expr("unix_timestamp(ts) div 604800").as("wk"))
+          .distinct()
+        val cohort = uw.groupBy("user_id")
+          .agg(min(col("wk")).as("cohort_week"))
+        uw.join(cohort, "user_id")
+          .groupBy(col("cohort_week"),
+            (col("wk") - col("cohort_week")).as("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH uw AS (SELECT DISTINCT user_id,
+              CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk FROM events),
+            c AS (SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY 1)
+          SELECT cohort_week, wk - cohort_week AS week_offset,
+                 count(*) AS n_users
+          FROM uw JOIN c USING (user_id)
+          GROUP BY 1, 2 ORDER BY 1, 2"""),
+    ),
     // ---- as-of join: each click gets the user's latest prior purchase ----
     QueryEntry(
       "q_asof_join",

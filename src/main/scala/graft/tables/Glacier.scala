@@ -516,6 +516,30 @@ final class Glacier(val root: String) {
     }
   }
 
+  /** MERGE INTO (copy-on-write upsert) for a keyed table: `updates` rows
+    * overwrite same-key rows of the current snapshot, new keys insert,
+    * untouched rows carry forward — ONE keyed left-anti join + unionByName,
+    * committed as a Replace so the pre-merge state stays time-travelable
+    * (the audit trail `q_table_diff` reads). This is Iceberg's COW MERGE;
+    * at 100 TB both sides live bucketed by the key so the anti-join is
+    * co-located, and a merge-on-read variant would instead commit the
+    * updates as a delta table folded at read time (the SeenSet
+    * delta-fold pattern). Missing table → the merge IS the initial load.
+    */
+  def mergeInto(spark: SparkSession, table: String, updates: DataFrame,
+                key: String): Long =
+    read(spark, table) match {
+      case None =>
+        commit(spark, Seq(TableWrite(table, updates, Replace)),
+          note = s"merge-init $table on $key")
+      case Some(cur) =>
+        import org.apache.spark.sql.functions.col
+        val kept = cur.join(updates.select(col(key)), Seq(key), "left_anti")
+        commit(spark,
+          Seq(TableWrite(table, kept.unionByName(updates), Replace)),
+          note = s"merge $table on $key")
+    }
+
   // ---- Bloom point-lookup index ---------------------------------------------
 
   /** Build a per-part Bloom index for `column` at the current snapshot: ONE

@@ -86,6 +86,26 @@ class GlacierStatsSpec extends AnyFunSuite {
     assert(pruned.filter(col("round") === 3).count() === 100)
   }
 
+  test("merge into: upsert overwrites matches, inserts new, keeps history") {
+    import spark.implicits._
+    val g = new Glacier(tmpRoot())
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "s", "v")
+    // missing table → merge is the initial load
+    val snap1 = g.mergeInto(spark, "kv", base, "k")
+    val updates = Seq((2L, "b2", 25L), (4L, "d", 40L)).toDF("k", "s", "v")
+    val snap2 = g.mergeInto(spark, "kv", updates, "k")
+    val after = g.read(spark, "kv").get.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(after.toSeq === Seq((1L, "a", 10L), (2L, "b2", 25L),
+      (3L, "c", 30L), (4L, "d", 40L)))
+    // pre-merge state stays time-travelable (the audit trail)
+    val before = g.read(spark, "kv", Some(snap1)).get.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(before.toSeq === Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    assert(snap2 > snap1)
+  }
+
   test("bloom index: point lookups skip parts, definite absence is free") {
     val g = new Glacier(tmpRoot())
     threeRounds(g) // 3 parts; url = u<round>-<0..99>
