@@ -92,11 +92,15 @@ object NormalizeText {
       else {
         val d = Normalizer.normalize(str, Normalizer.Form.NFD)
         val sb = new java.lang.StringBuilder(d.length)
+        // iterate CODE POINTS, not chars: a supplementary-plane combining
+        // mark (surrogate pair) must be stripped too, or the fold diverges
+        // from utf8proc/strip_accents on non-BMP text
         var j = 0
         while (j < d.length) {
-          val ch = d.charAt(j)
-          if (Character.getType(ch) != Character.NON_SPACING_MARK) sb.append(ch)
-          j += 1
+          val cp = d.codePointAt(j)
+          if (Character.getType(cp) != Character.NON_SPACING_MARK)
+            sb.appendCodePoint(cp)
+          j += Character.charCount(cp)
         }
         Normalizer.normalize(sb.toString, Normalizer.Form.NFC)
       }

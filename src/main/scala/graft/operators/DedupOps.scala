@@ -165,10 +165,21 @@ object DedupOps {
     * [[simhash16]].
     */
   def simhashHammingPairs(docs: DataFrame, maxHamming: Int = 1): DataFrame = {
+    // pigeonhole needs maxHamming+1 blocks: d flipped bits can touch at
+    // most d blocks, leaving one identical. Contiguous ranges of the 16
+    // sketch bits (widths may differ by 1 — the argument never needs
+    // equal widths).
+    val nBlocks = maxHamming + 1
+    require(nBlocks >= 2 && nBlocks <= 16,
+      s"simhashHammingPairs: maxHamming=$maxHamming needs $nBlocks blocks" +
+        " over a 16-bit sketch (1 <= maxHamming <= 15)")
     val sk = docs.select(col("doc_id"), simhash16(col("text")).as("sh"))
-    val halves = Seq(0, 1).map { j =>
+    val halves = (0 until nBlocks).map { j =>
+      val start = j * 16 / nBlocks
+      val width = (j + 1) * 16 / nBlocks - start
       struct(lit(j).as("half_idx"),
-        shiftright(col("sh"), 8 * j).bitwiseAND(lit(255L)).as("half_val"))
+        shiftright(col("sh"), start)
+          .bitwiseAND(lit((1L << width) - 1)).as("half_val"))
     }
     val exploded = sk
       .select(col("doc_id"), col("sh"), explode(array(halves: _*)).as("h"))

@@ -357,17 +357,22 @@ object Relational {
       (s, dir) => {
         t(s, dir, "orders").createOrReplaceTempView("orders")
         t(s, dir, "customer").createOrReplaceTempView("customer")
-        s.sql(SqlSurfaceQuery)
+        val df = s.sql(SqlSurfaceQuery) // sql() resolves views eagerly…
+        s.catalog.dropTempView("orders") // …so dropping here can't break
+        s.catalog.dropTempView("customer") // the plan, only unleak catalog
+        df                                 // state from later queries
       },
       Some(SqlSurfaceQuery),
     ),
     // ---- Pearson correlation via exact integer moments ----------------------
     // corr(quantity, discount·100) from the five raw moments, every one an
-    // EXACT BIGINT (both variables are integral after the portable round;
-    // magnitudes bounded < 2^53 at any sf so every cast to double is
-    // exact) — the one-pass profiling statistic `corr()` computes with
-    // order-dependent float accumulation, rebuilt order-independent.
-    // ONE scan, ONE 1-row aggregate.
+    // EXACT BIGINT (both variables are integral after the portable round).
+    // With x ≤ 50, y ≤ 10 the derived products n·Σx², Σx·Σy stay < 2^53
+    // (exact double casts) through roughly sf10 and inside BIGINT to
+    // ~sf100; past that scale the moments move to decimal(38,0) — the
+    // repo's exact-sum idiom — at the cost of the final casts' last-ulp
+    // portability. Rebuilt order-independent, unlike the one-pass corr()'s
+    // float accumulation. ONE scan, ONE 1-row aggregate.
     QueryEntry(
       "q_corr_stats",
       (s, dir) => {
@@ -409,7 +414,7 @@ object Relational {
       (s, dir) => {
         def sig(table: String, keyCols: Seq[String]) = {
           val rendered = concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
-          val h = conv(substring(md5(rendered), 1, 8), 16, 10).cast("long")
+          val h = Tables.h32(rendered)
           t(s, dir, table).agg(
             count(lit(1)).as("n_rows"),
             sum(h).as("hash_sum"),

@@ -32,10 +32,7 @@ object JsonlStore {
     StructField("doc_id", LongType), StructField("text", StringType),
     StructField("lang", StringType), StructField("n_chars", LongType)))
 
-  /** 32-bit md5 prefix as an exact long — the repo's engine-portable
-    * checksum primitive. */
-  private def h32(c: org.apache.spark.sql.Column) =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  private def h32(c: org.apache.spark.sql.Column) = Tables.h32(c)
 
   def entries: Seq[QueryEntry] = Seq(
     QueryEntry(

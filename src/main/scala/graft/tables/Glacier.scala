@@ -527,18 +527,26 @@ final class Glacier(val root: String) {
     * delta-fold pattern). Missing table → the merge IS the initial load.
     */
   def mergeInto(spark: SparkSession, table: String, updates: DataFrame,
-                key: String): Long =
+                key: String): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // a MERGE source with duplicate keys is ambiguous (which row wins?) —
+    // refuse like Iceberg/Delta do rather than silently writing duplicate
+    // rows into a keyed table; one small key-grouped job on a maintenance op
+    val dup = updates.groupBy(col(key)).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).count()
+    require(dup == 0L,
+      s"mergeInto: updates contain duplicate values of key '$key'")
     read(spark, table) match {
       case None =>
         commit(spark, Seq(TableWrite(table, updates, Replace)),
           note = s"merge-init $table on $key")
       case Some(cur) =>
-        import org.apache.spark.sql.functions.col
         val kept = cur.join(updates.select(col(key)), Seq(key), "left_anti")
         commit(spark,
           Seq(TableWrite(table, kept.unionByName(updates), Replace)),
           note = s"merge $table on $key")
     }
+  }
 
   // ---- Bloom point-lookup index ---------------------------------------------
 

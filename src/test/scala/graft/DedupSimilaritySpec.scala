@@ -398,5 +398,14 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.length === got.toSet.size, "pair emitted more than once")
     assert(got.toSet === expected)
     assert(expected.contains((1L, 2L, 0L)), "exact dup must be at distance 0")
+    // larger radius → d+1 blocks, still pigeonhole-complete vs brute force
+    val expected3 = (for {
+      a <- sketches.keys; b <- sketches.keys if a < b
+      if java.lang.Long.bitCount(sketches(a) ^ sketches(b)) <= 3
+    } yield (a, b, java.lang.Long.bitCount(sketches(a) ^ sketches(b)).toLong))
+      .toSet
+    val got3 = DedupOps.simhashHammingPairs(ten, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got3 === expected3)
   }
 }

@@ -104,6 +104,13 @@ class GlacierStatsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(before.toSeq === Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
     assert(snap2 > snap1)
+    // ambiguous MERGE source (duplicate keys) is refused, table untouched
+    val dup = Seq((5L, "x", 1L), (5L, "y", 2L)).toDF("k", "s", "v")
+    val err = intercept[IllegalArgumentException] {
+      g.mergeInto(spark, "kv", dup, "k")
+    }
+    assert(err.getMessage.contains("duplicate"))
+    assert(g.read(spark, "kv").get.count() === 4)
   }
 
   test("bloom index: point lookups skip parts, definite absence is free") {

@@ -171,5 +171,11 @@ class TextFunctionsSpec extends AnyFunSuite {
     val e = NormalizeText(Literal(UTF8String.fromString("café"),
       org.apache.spark.sql.types.StringType), stripAccents = false)
     assert(e.eval(null).toString === "café")
+    // supplementary-plane combining mark (surrogate pair) is stripped too:
+    // U+1D167 MUSICAL SYMBOL COMBINING TREMOLO-1 is category Mn
+    val astral = "x" + new String(Character.toChars(0x1D167)) + "y"
+    val folded = NormalizeText.compute(
+      UTF8String.fromString(astral), stripAccents = true).toString
+    assert(folded === "xy")
   }
 }
