@@ -9,10 +9,12 @@ import graft.QueryEntry
 import graft.crawl._
 import graft.crawl.CrawlLoop.CrawlConfig
 
-/** End-to-end crawl-engine queries on the driver surface. No SQL oracle —
-  * the crawl is not SQL-expressible (driver records the rows-only check);
-  * its real gate is CrawlParitySpec (sequential-oracle equality) — but
-  * running it through Verify proves the whole engine drives end-to-end in
+/** End-to-end crawl-engine queries on the driver surface. The crawl loop
+  * itself is not SQL-expressible, so its artifact entries carry no oracle
+  * (driver records the rows-only check; the real gate is CrawlParitySpec's
+  * sequential-oracle equality) — except `q_robots_gate`, whose pure
+  * regex+mod rule IS mirrorable and gets a hashed CORRECTNESS row. Running
+  * the rest through Verify proves the whole engine drives end-to-end in
   * the driver's harness and dumps inspectable artifacts.
   */
 object CrawlQueries {
@@ -48,6 +50,45 @@ object CrawlQueries {
   }
 
   def entries: Seq[QueryEntry] = Seq(
+    // ---- robots gate, oracle-checked ---------------------------------------
+    // the ONE crawl-core rule that IS SQL-expressible (pure regex + mod),
+    // so the north rule's robots gating gets a hashed CORRECTNESS row in
+    // addition to its parity coverage: same Column twin the crawl loop's
+    // link gate runs ([[graft.crawl.Robots.allowedCol]]), mirrored in
+    // DuckDB regexp_extract over a deterministic URL mix
+    QueryEntry(
+      "q_robots_gate",
+      (s, dir) => {
+        val urls = graft.Tables.t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("osf://node/"), col("doc_id")))
+            .when(col("doc_id") % 3 === 1,
+              concat(lit("zenodo://preview/"), col("doc_id"),
+                lit("/archive_"), col("doc_id"), lit(".zip")))
+            .otherwise(concat(lit("figshare://article/"), col("doc_id")))
+            .as("url"))
+        urls.select(col("doc_id"), col("url"),
+            Robots.allowedCol(col("url")).as("allowed"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0 THEN 'osf://node/' || doc_id
+                 WHEN doc_id % 3 = 1 THEN 'zenodo://preview/' || doc_id
+                      || '/archive_' || doc_id || '.zip'
+                 ELSE 'figshare://article/' || doc_id END AS url
+          FROM documents)
+        SELECT doc_id, url,
+          CASE WHEN regexp_extract(url, '^osf://node/(\d+)$', 1) <> ''
+               THEN CAST(regexp_extract(url, '^osf://node/(\d+)$', 1)
+                    AS BIGINT) % 13 <> 0
+               WHEN regexp_extract(url,
+                    '^zenodo://preview/\d+/archive_(\d+)\.zip$', 1) <> ''
+               THEN CAST(regexp_extract(url,
+                    '^zenodo://preview/\d+/archive_(\d+)\.zip$', 1)
+                    AS BIGINT) % 17 <> 0
+               ELSE true END AS allowed
+        FROM u ORDER BY doc_id"""),
+    ),
     // the crawl-order log — the parity artifact, in logical order
     QueryEntry("q_crawl_log", (s, _) =>
       glacier(s).read(s, "crawl_log").get.orderBy("round", "seqInRound")),
