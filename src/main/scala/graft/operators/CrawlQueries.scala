@@ -89,6 +89,59 @@ object CrawlQueries {
                ELSE true END AS allowed
         FROM u ORDER BY doc_id"""),
     ),
+    // ---- priority-queue drain, oracle-checked ------------------------------
+    // The north rule's fetch scheduler (per-host budget + score/discovery
+    // priority) driven through the REAL drain path — the custom
+    // [[graft.plans.TopKPerKey]] Catalyst operator plus the range-partition
+    // global numbering ([[CrawlLoop.drainSelect]]) — against a plain SQL
+    // window oracle. The synthetic frontier derives deterministically from
+    // `documents` (score = (id·37 mod 100)/10 ties across hosts; minted
+    // discovery seq = doc_id keeps the priority a total order); per-host
+    // budgets 3..7 from the host's numeric suffix. The oracle's
+    // windows-then-filter is the semantics; the engine's plan is the
+    // scale shape (bounded heaps, ONE host exchange, no global window).
+    QueryEntry(
+      "q_frontier_drain",
+      (s, dir) => {
+        val frontier = graft.Tables.t(s, dir, "documents").select(
+          concat(lit("syn://"), col("source"), lit("/"), col("doc_id"))
+            .as("url"),
+          col("source").as("host"),
+          (col("doc_id") % 4).cast("int").as("depth"),
+          ((col("doc_id") * 37) % 100).cast("double").divide(lit(10.0))
+            .as("score"),
+          lit(0).as("round"), lit(0).as("queryIdx"), lit(0).as("pageIdx"),
+          col("doc_id").cast("int").as("hitIdx"))
+        // host-budget map: dimension-sized (like the loop's own), built
+        // from the tiny distinct-host set so any sf's source count works
+        val budgets = frontier.select("host").distinct().collect()
+          .map(_.getString(0))
+          .map(h => h -> (3 + h.drop(3).toInt % 5)).toMap
+        CrawlLoop.drainSelect(frontier, budgets, 1)
+          .select(col("url"), col("host"), col("depth"), col("score"),
+            col("seqInRound").as("seq_in_round"),
+            col("kInHost").as("k_in_host"))
+          .orderBy("seq_in_round")
+      },
+      Some("""WITH f AS (SELECT doc_id,
+            'syn://' || source || '/' || doc_id AS url,
+            source AS host,
+            CAST(doc_id % 4 AS INT) AS depth,
+            CAST((doc_id * 37) % 100 AS DOUBLE) / 10.0e0 AS score,
+            doc_id AS hit
+          FROM documents),
+        b AS (SELECT *,
+            3 + CAST(substr(host, 4) AS BIGINT) % 5 AS budget,
+            row_number() OVER (PARTITION BY host
+              ORDER BY score DESC, hit ASC) AS rk
+          FROM f),
+        sel AS (SELECT * FROM b WHERE rk <= budget)
+        SELECT url, host, depth, score,
+          CAST(row_number() OVER (ORDER BY score DESC, hit ASC) AS INT)
+            AS seq_in_round,
+          CAST(rk - 1 AS INT) AS k_in_host
+        FROM sel ORDER BY seq_in_round"""),
+    ),
     // the crawl-order log — the parity artifact, in logical order
     QueryEntry("q_crawl_log", (s, _) =>
       glacier(s).read(s, "crawl_log").get.orderBy("round", "seqInRound")),

@@ -597,6 +597,32 @@ object Relational {
         }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
       },
     ),
+    // ---- UNPIVOT (wide→long melt) ------------------------------------------
+    // The inverse of the pivot entries: lineitem's four measure columns
+    // melted to (key, measure, val) rows via the native `Dataset.unpivot`
+    // (planned as a single Expand — one scan, rows×4 generated map-side,
+    // NO shuffle and no join; the hand-rolled UNION-of-selects alternative
+    // scans the table four times). Values pass through untouched, so the
+    // doubles hash bit-identically. Oracle = the portable UNION ALL form.
+    QueryEntry(
+      "q_unpivot",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 100 === 0)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .orderBy("l_orderkey", "l_linenumber", "measure"),
+      Some {
+        val ms = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        ms.map { m =>
+          s"""SELECT l_orderkey, l_linenumber, '$m' AS measure, $m AS val
+              FROM lineitem WHERE l_orderkey % 100 = 0"""
+        }.mkString("SELECT * FROM (", " UNION ALL ",
+          ") ORDER BY l_orderkey, l_linenumber, measure")
+      },
+    ),
   )
 
   /** Single-scan column profiler: per requested column, row count, non-null

@@ -408,5 +408,45 @@ object ScalarQueries {
                '/{2,}', '/', 'g') AS canon_url
         FROM sh ORDER BY doc_id"""),
     ),
+    // ---- higher-order array functions (transform/filter/aggregate/zip_with) -
+    // The HOF surface over the embedding vectors, all codegen'd per-row
+    // (no explode, no shuffle — the explode form would multiply scan rows
+    // ×dim at 100 TB). Floats are floor-quantized to micro-integers
+    // per-element FIRST (one correctly-rounded IEEE op each), then every
+    // fold is exact BIGINT arithmetic — cross-element double folds are the
+    // one HOF shape whose rounding could diverge across engines, so the
+    // contract never does one. zip_with pairs each element with its
+    // 1-based ordinal from `sequence` (DuckDB mirror: list indexing over
+    // `range`).
+    QueryEntry(
+      "q_hof_array",
+      (s, dir) => {
+        val ql = transform(col("embedding"),
+          x => floor(x.cast("double") * 1e6).cast("long"))
+        t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            aggregate(transform(ql, v => v * v), lit(0L), (acc, v) => acc + v)
+              .as("sq_sum"),
+            aggregate(
+              zip_with(ql, sequence(lit(1), size(col("embedding"))),
+                (v, i) => v * i),
+              lit(0L), (acc, v) => acc + v).as("wdot"),
+            size(filter(col("embedding"), x => x > 0)).cast("long")
+              .as("n_pos"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH q AS (SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS ql,
+            CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
+          FROM embeddings)
+        SELECT vec_id,
+          CAST(list_aggregate(list_transform(ql, v -> v * v), 'sum')
+            AS BIGINT) AS sq_sum,
+          CAST(list_aggregate(list_transform(range(1, len(ql) + 1),
+              i -> ql[CAST(i AS INT)] * i), 'sum') AS BIGINT) AS wdot,
+          n_pos
+        FROM q ORDER BY vec_id"""),
+    ),
   )
 }

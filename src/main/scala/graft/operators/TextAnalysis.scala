@@ -1084,5 +1084,83 @@ object TextAnalysis {
               AS oov_rate
           FROM a GROUP BY doc_id ORDER BY doc_id"""),
     ),
+    // ---- unigram diversity (Simpson collision probability, log-free) -------
+    // The Shannon-entropy quality gate in the log-free rational form this
+    // suite standardizes on (cross-engine `log` is not reproducible; integer
+    // collision counts are): per document, the unbiased token collision
+    // probability numerator sum c·(c−1) over its denominator n·(n−1), plus
+    // the type-token ratio as an exact ppm integer. Low diversity (high
+    // collision, low TTR) flags the degenerate repetitive spam a pretraining
+    // filter drops. Plan: tokenize → ONE (doc_id, token) partial-agg shuffle
+    // → per-doc rollup riding the same doc_id distribution — the same
+    // two-level shape at 100 TB, no windows, no driver state.
+    QueryEntry(
+      "q_token_diversity",
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        tok.groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_types"),
+            sum("n").as("n_tokens"),
+            sum(col("n") * (col("n") - 1)).as("coll_num"))
+          .select(col("doc_id"), col("n_types"), col("n_tokens"),
+            col("coll_num"),
+            (col("n_tokens") * (col("n_tokens") - 1)).as("coll_den"),
+            expr("n_types * 1000000 div n_tokens").as("ttr_ppm"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+            FROM documents),
+          c AS (SELECT doc_id, w, count(*) AS n FROM tok GROUP BY 1, 2)
+          SELECT doc_id, count(*) AS n_types,
+            CAST(sum(n) AS BIGINT) AS n_tokens,
+            CAST(sum(n*(n-1)) AS BIGINT) AS coll_num,
+            CAST(sum(n) AS BIGINT) * (CAST(sum(n) AS BIGINT) - 1) AS coll_den,
+            count(*) * 1000000 // CAST(sum(n) AS BIGINT) AS ttr_ppm
+          FROM c GROUP BY doc_id ORDER BY doc_id"""),
+    ),
+    // ---- source mixture weighting (temperature-scaled, exact-integer) ------
+    // Training-data mixing: per-source corpus shares and the α=0.5
+    // temperature-scaled sampling weights (∝ √tokens — the standard
+    // upweight-the-tail mixture rule). IEEE sqrt is a correctly-rounded
+    // required op, so per-source √tokens is bit-reproducible cross-engine;
+    // each weight is floor-quantized to an exact micro-integer BEFORE the
+    // normalizing sum so no cross-row double accumulation ever happens.
+    // Plan: one partial-agg shuffle to per-source totals (|sources| rows),
+    // then two broadcast scalars — at 100 TB the shuffle carries one row
+    // per (partition × source).
+    QueryEntry(
+      "q_domain_mix",
+      (s, dir) => {
+        val perSrc = t(s, dir, "documents")
+          .select(col("source"), size(split(col("text"), " ")).cast("long").as("ntok"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
+        val w = perSrc.withColumn("w_raw",
+          floor(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+        val tot = w.agg(sum("n_tokens").as("tot"), sum("w_raw").as("wsum"))
+        w.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            expr("n_tokens * 1000000 div tot").as("share_ppm"),
+            col("w_raw"),
+            expr("w_raw * 1000000 div wsum").as("weight_ppm"))
+          .orderBy("source")
+      },
+      Some("""WITH s AS (SELECT source, count(*) AS n_docs,
+              CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY 1),
+          w AS (SELECT source, n_docs, n_tokens,
+              CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+                AS w_raw
+            FROM s),
+          t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+              CAST(sum(w_raw) AS BIGINT) AS wsum FROM w)
+          SELECT source, n_docs, n_tokens,
+            n_tokens * 1000000 // tot AS share_ppm, w_raw,
+            w_raw * 1000000 // wsum AS weight_ppm
+          FROM w, t ORDER BY source"""),
+    ),
   )
 }

@@ -46,6 +46,14 @@ final case class SegmentWindowCount(window_start: Timestamp, segment: String,
 final case class WindowCount(window_start: Timestamp, event_type: String,
     n: Long, total: Double)
 
+/** One replayed click / view for the stream-stream join entry. */
+final case class ClickEv(cts: Timestamp, c_user: Long, click_id: Long)
+final case class ViewEv(vts: Timestamp, v_user: Long, view_id: Long)
+
+/** Oracle-facing attributed pair (top level for codegen). */
+final case class AttributedPair(click_id: Long, view_id: Long, user_id: Long,
+    gap_us: Long)
+
 object StreamQueries {
 
   /** Fixed epoch base so event times are bit-deterministic. */
@@ -290,6 +298,83 @@ object StreamQueries {
         SELECT window_start, segment, count(*) AS n,
           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
         FROM b GROUP BY 1, 2 ORDER BY 1, 2"""),
+    ),
+
+    // ---- stream-stream interval join through the real engine ---------------
+    // The fifth canonical streaming op: TWO live streams (clicks, views)
+    // inner-joined on user within a 24-hour event-time interval —
+    // click-to-view attribution. Both sides carry watermarks and the join
+    // condition bounds both event times, so Spark derives the state
+    // retention window per side and evicts joined state as the watermarks
+    // advance (unbounded state otherwise — the classic stream-join trap).
+    // Inner join in Append emits each matched pair in the micro-batch where
+    // both rows are present; replaying both streams in lockstep weekly
+    // batches makes the emitted SET the full join result, so no flush
+    // sentinel is needed (watermarks only bound state here, never output).
+    // Oracle = the plain batch interval join.
+    QueryEntry(
+      "q_stream_stream_join",
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val rows = Tables.t(s, dir, "events")
+          .filter(col("event_type").isin("click", "view"))
+          .select(col("ts").cast("timestamp"), col("user_id"),
+            col("event_id"), col("event_type"))
+          .collect()
+        val clicks = rows.filter(_.getString(3) == "click")
+          .map(r => ClickEv(r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+        val views = rows.filter(_.getString(3) == "view")
+          .map(r => ViewEv(r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+        if (rows.isEmpty) {
+          s.createDataset(Seq.empty[AttributedPair]).toDF()
+        } else {
+          val weekMs = 7L * 86400000L
+          val weeks = rows.map(_.getTimestamp(0).getTime / weekMs).distinct.sorted
+          val cByW = clicks.groupBy(_.cts.getTime / weekMs)
+          val vByW = views.groupBy(_.vts.getTime / weekMs)
+
+          val memC = MemoryStream[ClickEv]
+          val memV = MemoryStream[ViewEv]
+          val sinkName = "q_stream_stream_join_sink"
+          s.catalog.dropTempView(sinkName)
+          val joined = memC.toDS().withWatermark("cts", "1 hour")
+            .join(memV.toDS().withWatermark("vts", "1 hour"),
+              expr("""c_user = v_user AND
+                      vts >= cts AND vts <= cts + interval 24 hours"""))
+            .select(col("click_id"), col("view_id"),
+              col("c_user").as("user_id"),
+              (unix_micros(col("vts")) - unix_micros(col("cts"))).as("gap_us"))
+          val q = withStreamParts(s) {
+            joined.writeStream.format("memory").queryName(sinkName)
+              .option("checkpointLocation", checkpointDir())
+              .outputMode("append").start()
+          }
+          val out =
+            try {
+              weeks.foreach { w =>
+                memC.addData(cByW.getOrElse(w, Array.empty).toSeq)
+                memV.addData(vByW.getOrElse(w, Array.empty).toSeq)
+                q.processAllAvailable()
+              }
+              s.table(sinkName).collect().map(r => AttributedPair(
+                r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+            } finally {
+              q.stop()
+              s.catalog.dropTempView(sinkName)
+            }
+          s.createDataset(out.toSeq).toDF().orderBy("click_id", "view_id")
+        }
+      },
+      Some("""WITH a AS (SELECT event_id AS click_id, ts AS cts, user_id
+              FROM events WHERE event_type = 'click'),
+            b AS (SELECT event_id AS view_id, ts AS vts, user_id
+              FROM events WHERE event_type = 'view')
+          SELECT a.click_id, b.view_id, a.user_id,
+            epoch_us(vts) - epoch_us(cts) AS gap_us
+          FROM a JOIN b ON a.user_id = b.user_id
+            AND vts >= cts AND vts <= cts + INTERVAL 24 HOUR
+          ORDER BY click_id, view_id"""),
     ),
 
     // ---- stateful gap sessionization through the real engine ---------------
