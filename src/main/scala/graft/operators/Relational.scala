@@ -623,6 +623,158 @@ object Relational {
           ") ORDER BY l_orderkey, l_linenumber, measure")
       },
     ),
+    // ---- rank-function family (rank / dense_rank / percent_rank / cume_dist)
+    // Completes the window surface (running, sliding, ntile, row_number
+    // elsewhere): the tie-aware rank family over a high-cardinality
+    // partition key (per-customer — thousands of small partitions sharing
+    // ONE o_custkey shuffle, never a global or 3-partition window). The
+    // order key is a coarse bucket so real TIES exercise rank vs
+    // dense_rank; every emitted rank is a function of the order KEY alone,
+    // so ties can't make output nondeterministic. percent_rank/cume_dist
+    // are single IEEE divisions of exact ints (cross-engine-stable);
+    // the two single-order customers pin the n=1 percent_rank=0 edge.
+    QueryEntry(
+      "q_window_ranks",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("bucket").desc)
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            floor(col("o_totalprice") / lit(10000.0)).cast("long").as("bucket"))
+          .select(col("o_orderkey"), col("o_custkey"), col("bucket"),
+            rank().over(w).cast("long").as("rnk"),
+            dense_rank().over(w).cast("long").as("drnk"),
+            percent_rank().over(w).as("prank"),
+            cume_dist().over(w).as("cdist"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH b AS (SELECT o_orderkey, o_custkey,
+            CAST(floor(o_totalprice / 10000.0e0) AS BIGINT) AS bucket
+          FROM orders)
+        SELECT o_orderkey, o_custkey, bucket,
+          CAST(rank() OVER w AS BIGINT) AS rnk,
+          CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+          percent_rank() OVER w AS prank,
+          cume_dist() OVER w AS cdist
+        FROM b WINDOW w AS (PARTITION BY o_custkey ORDER BY bucket DESC)
+        ORDER BY o_orderkey"""),
+    ),
+    // ---- incremental aggregate maintenance ---------------------------------
+    // The materialized-view refresh shape: yesterday's persisted PARTIAL
+    // aggregate (count + exact decimal sum per group) merged with the
+    // delta's partial aggregate by re-aggregation — the full recompute
+    // (the oracle) never runs. Works because count/sum are commutative
+    // monoids; the merge shuffle carries |groups| rows, not data. At
+    // 100 TB this is the difference between re-scanning the corpus per
+    // refresh and touching only the delta (same algebra Glacier's
+    // snapshot Append + this rollup would run on a schedule).
+    QueryEntry(
+      "q_incremental_rollup",
+      (s, dir) => {
+        def partial(df: DataFrame): DataFrame = df
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(28, 6))).as("tot_dec"))
+        val orders = t(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+        val yesterday = partial(orders.filter(col("o_orderkey") % 10 < 9))
+        val delta = partial(orders.filter(col("o_orderkey") % 10 >= 9))
+        yesterday.unionByName(delta)
+          .groupBy("o_orderpriority")
+          .agg(sum(col("n")).as("n"), sum(col("tot_dec")).as("merged_dec"))
+          .select(col("o_orderpriority"), col("n"),
+            col("merged_dec").cast("double").as("total"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+        FROM orders GROUP BY 1 ORDER BY 1"""),
+    ),
+    // ---- bloom-pruned shuffle join -----------------------------------------
+    // The runtime-filter pattern for a join whose build side is too big to
+    // broadcast but whose KEY SET fits a Bloom filter: fold the build keys
+    // into a bit array (the fold is an exchange bounded by bits/64 words,
+    // never by rows), ship the words as a literal, and pre-filter the probe
+    // side with two pure-column md5 probes BEFORE its join exchange — false
+    // positives are removed by the exact join that follows, so the result
+    // is oracle-identical and the bloom is performance-transparent. The
+    // `merge` hint forces the shuffle join at test scale (AQE would
+    // broadcast) to keep the pruned-exchange plan shape honest; probes
+    // reuse the engine-portable [[Tables.h32]] primitive.
+    QueryEntry(
+      "q_bloom_semi_join",
+      (s, dir) => {
+        val bits = 1 << 16
+        val keys = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderkey") % 50 === 0)
+          .select(col("o_orderkey"))
+        def h1(k: Column): Column = Tables.h32(k.cast("string")) % bits
+        def h2(k: Column): Column =
+          Tables.h32(concat(k.cast("string"), lit("#2"))) % bits
+        // distributed word fold: explode both probe positions, OR the
+        // per-position masks into ≤ bits/64 words, collect only the words
+        val words = keys
+          .select(explode(array(h1(col("o_orderkey")), h2(col("o_orderkey"))))
+            .as("h"))
+          .select((col("h") / 64).cast("int").as("w"),
+            expr("shiftleft(1L, cast(h % 64 as int))").as("m"))
+          .groupBy("w").agg(expr("bit_or(m)").as("mask"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val wordArr = typedLit(
+          (0 until bits / 64).map(i => words.getOrElse(i, 0L)))
+        val maskArr = typedLit((0 until 64).map(i => 1L << i))
+        def mightContain(h: Column): Column =
+          (element_at(wordArr, (h / lit(64)).cast("int") + 1)
+            .bitwiseAND(element_at(maskArr, (h % 64).cast("int") + 1))) =!= 0
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"))
+        val pruned = li
+          .filter(mightContain(h1(col("l_orderkey"))) &&
+            mightContain(h2(col("l_orderkey"))))
+        pruned.hint("merge")
+          .join(keys.hint("merge"), col("l_orderkey") === col("o_orderkey"),
+            "left_semi")
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("l_extendedprice").cast(DecimalType(28, 6)))
+              .as("price_dec"))
+          .select(col("l_orderkey"), col("n_lines"),
+            col("price_dec").cast("double").as("total_price"))
+          .orderBy("l_orderkey")
+      },
+      Some("""SELECT l_orderkey, count(*) AS n_lines,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+            AS total_price
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+          WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 50 = 0)
+        GROUP BY 1 ORDER BY 1"""),
+    ),
+    // ---- snapshot time travel, oracle-checked ------------------------------
+    // The snapshot layer's read-as-of through the driver gate (spec-pinned
+    // until now): commit v1, Replace with a modified v2, read SNAPSHOT 1 —
+    // the oracle reproduces v1 from the source parquet, so the time-travel
+    // read is hashed, not trusted. Commit/read costs are manifest metadata
+    // + one parquet roundtrip; doubles pass through parquet bit-identically.
+    QueryEntry(
+      "q_time_travel",
+      (s, dir) => {
+        val root = graft.BenchDirs.scratchDir("glacier-tt")
+        val g = new graft.tables.Glacier(root)
+        val base = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val v1 = base.filter(col("o_orderkey") % 10 < 8)
+        val id1 = g.commit(s, Seq(g.TableWrite("orders_v", v1, g.Replace)))
+        val v2 = base.filter(col("o_orderkey") % 10 < 9)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2)
+              .otherwise(col("o_totalprice")))
+        g.commit(s, Seq(g.TableWrite("orders_v", v2, g.Replace)))
+        g.read(s, "orders_v", Some(id1)).get.orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_orderkey % 10 < 8 ORDER BY o_orderkey"""),
+    ),
   )
 
   /** Single-scan column profiler: per requested column, row count, non-null
