@@ -377,6 +377,56 @@ object StreamQueries {
           ORDER BY click_id, view_id"""),
     ),
 
+    // ---- exactly-once Glacier sink through the real engine -----------------
+    // Streaming ingestion INTO the snapshot layer ([[GlacierSink]]): the
+    // events table replayed weekly through foreachBatch, each micro-batch
+    // an atomic Glacier commit carrying its batch id. After the stream
+    // stops, batch 0 is re-delivered by hand (the crash-replay shape) —
+    // the sink must skip it, and the ORACLE proves it: any duplicate rows
+    // would break the hashed row-count/values against the plain table
+    // read. This turns the exactly-once write path into a CORRECTNESS row
+    // instead of trust-the-spec (`GlacierSinkSpec` covers the mechanics).
+    QueryEntry(
+      "q_stream_sink_replay",
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val rows = Tables.t(s, dir, "events")
+          .select(col("ts").cast("timestamp"), col("event_id"),
+            col("user_id"), col("value").cast("double"))
+          .collect()
+          .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3)))
+        val weekMs = 7L * 86400000L
+        val batches = rows
+          .groupBy(_._1.getTime / weekMs).toSeq.sortBy(_._1).map(_._2.toSeq)
+
+        val root = graft.BenchDirs.scratchDir("stream-sink")
+        val g = new graft.tables.Glacier(root)
+        val mem = MemoryStream[(java.sql.Timestamp, Long, Long, Double)]
+        val q = withStreamParts(s) {
+          mem.toDF().toDF("ts", "event_id", "user_id", "value")
+            .writeStream
+            .option("checkpointLocation", checkpointDir())
+            .foreachBatch(GlacierSink.appendBatch(g, "events_sink") _)
+            .start()
+        }
+        try {
+          batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+        } finally q.stop()
+        // crash-replay: re-deliver batch 0 with its original id — the
+        // sink's high-water mark skips it; duplicates would fail the hash
+        GlacierSink.appendBatch(g, "events_sink")(
+          s.createDataset(batches.head).toDF("ts", "event_id", "user_id", "value"),
+          0L)
+        g.read(s, "events_sink").get
+          .select(col("event_id"), col("user_id"), col("value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, value FROM events
+          ORDER BY event_id"""),
+    ),
+
     // ---- stateful gap sessionization through the real engine ---------------
     // The third canonical streaming op: 30-min-gap sessions per user via
     // flatMapGroupsWithState with event-time timeouts
