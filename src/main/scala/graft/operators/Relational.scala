@@ -775,6 +775,31 @@ object Relational {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         WHERE o_orderkey % 10 < 8 ORDER BY o_orderkey"""),
     ),
+    // ---- explicit GROUPING SETS (the cube/rollup generalization) -----------
+    // The user-chosen grouping-set list ((status, priority), (priority), ())
+    // — a set CUBE can't express without waste (it would also compute
+    // (status)). Same single Expand-fed partial→final aggregate pair as
+    // q_cube, `grouping_id` bit order already pinned == DuckDB GROUPING
+    // (first arg = MSB) by that entry's spec.
+    QueryEntry(
+      "q_grouping_sets",
+      (s, dir) => t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderpriority")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(28,6)")).cast("double")
+            .as("total"),
+          grouping_id().as("gid"))
+        .orderBy("gid", "o_orderstatus", "o_orderpriority"),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+            CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+          FROM orders GROUP BY GROUPING SETS
+            ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+          ORDER BY gid, o_orderstatus, o_orderpriority"""),
+    ),
   )
 
   /** Single-scan column profiler: per requested column, row count, non-null

@@ -217,5 +217,52 @@ object TemporalJoins {
           FROM g GROUP BY user_id, session_id
           ORDER BY user_id, session_id"""),
     ),
+    // ---- time-series gap fill (resample to a regular daily grid) -----------
+    // The series-regularization op every downstream model wants: per user,
+    // DAILY buckets from that user's first to last active day, missing
+    // days materialized with zero counts. The grid comes from
+    // `sequence(lo, hi)` exploded off the per-user span — generated rows
+    // scale with user-span days, never users × global-calendar; the grid
+    // join is a left join back onto the per-(user, day) rollup, all three
+    // stages sharing the user_id-keyed shuffle family. Bucket ids are
+    // exact integer epoch-day divisions (no timestamp arithmetic to
+    // diverge cross-engine); users < 50 keep the sandbox dump bounded.
+    QueryEntry(
+      "q_gap_fill",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+          .filter(col("user_id") < 50)
+          .select(col("user_id"),
+            expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+              .as("day"),
+            col("value"))
+        val agg = e.groupBy("user_id", "day")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(28,6)")).as("tot_dec"))
+        val grid = agg.groupBy("user_id")
+          .agg(min("day").as("lo"), max("day").as("hi"))
+          .select(col("user_id"),
+            explode(sequence(col("lo"), col("hi"))).as("day"))
+        grid.join(agg, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            coalesce(col("tot_dec").cast("double"), lit(0.0)).as("total"))
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH e AS (SELECT user_id,
+              epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, value
+            FROM events WHERE user_id < 50),
+          a AS (SELECT user_id, day, count(*) AS n_events,
+              sum(CAST(value AS DECIMAL(28,6))) AS tot_dec
+            FROM e GROUP BY 1, 2),
+          s AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+            FROM a GROUP BY 1),
+          f AS (SELECT user_id, unnest(generate_series(lo, hi)) AS day
+            FROM s)
+          SELECT f.user_id, f.day, coalesce(n_events, 0) AS n_events,
+            CAST(coalesce(tot_dec, 0) AS DOUBLE) AS total
+          FROM f LEFT JOIN a ON f.user_id = a.user_id AND f.day = a.day
+          ORDER BY f.user_id, f.day"""),
+    ),
   )
 }
