@@ -800,6 +800,66 @@ object Relational {
             ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
           ORDER BY gid, o_orderstatus, o_orderpriority"""),
     ),
+    // ---- schema evolution via mergeSchema read -----------------------------
+    // The lakehouse add-a-column path: an old partition written with two
+    // columns, a new one with three, read together under
+    // `mergeSchema=true` — old rows surface NULL for the added column
+    // instead of failing or silently picking one footer's schema (the
+    // default single-schema read). At 100 TB the union schema comes from
+    // manifest metadata (Glacier records per-table schemas per snapshot)
+    // rather than footer sampling; the NULL-fill semantics this entry
+    // hashes are identical.
+    QueryEntry(
+      "q_schema_merge",
+      (s, dir) => {
+        val base = graft.BenchDirs.scratchDir("schema-ev")
+        val orders = t(s, dir, "orders")
+        orders.filter(col("o_orderkey") % 10 < 5)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$base/v1")
+        orders.filter(col("o_orderkey") % 10 >= 5)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+          .write.mode("overwrite").parquet(s"$base/v2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$base/v1", s"$base/v2")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+            CASE WHEN o_orderkey % 10 >= 5 THEN o_orderpriority
+                 ELSE NULL END AS o_orderpriority
+          FROM orders ORDER BY o_orderkey"""),
+    ),
+    // ---- first/last/nth_value window functions -----------------------------
+    // The value-picker window family (first/last/nth over the FULL frame —
+    // last_value over the default running frame is the classic
+    // returns-current-row bug, so the frame is explicit). Order key
+    // (ts, event_id) is unique per user → deterministic picks; all three
+    // share the single user_id window shuffle.
+    QueryEntry(
+      "q_window_firstlast",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            first(col("event_id")).over(w).as("first_ev"),
+            last(col("event_id")).over(w).as("last_ev"),
+            nth_value(col("event_id"), 2).over(w).as("second_ev"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+            first_value(event_id) OVER w AS first_ev,
+            last_value(event_id) OVER w AS last_ev,
+            nth_value(event_id, 2) OVER w AS second_ev
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          ORDER BY event_id"""),
+    ),
   )
 
   /** Single-scan column profiler: per requested column, row count, non-null

@@ -448,5 +448,32 @@ object ScalarQueries {
           n_pos
         FROM q ORDER BY vec_id"""),
     ),
+    // ---- regexp_extract_all (pattern mining into arrays) -------------------
+    // The all-matches twin of the single-capture extracts used throughout
+    // (DOI, md5, mdp fields): every ≥7-letter word per document, plus the
+    // sorted-distinct form — the shape of vocabulary/entity mining over a
+    // corpus. Both engines run greedy leftmost matching, and the array
+    // normalizer in the compare handles list columns; empty-match docs
+    // emit [] on both sides. Per-row codegen'd, no shuffle.
+    QueryEntry(
+      "q_regex_extract_all",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_extract_all(col("text"), lit("[a-z]{7,}"), lit(0))
+            .as("long_words"),
+          array_sort(array_distinct(
+            regexp_extract_all(col("text"), lit("[a-z]{7,}"), lit(0))))
+            .as("distinct_words"),
+          size(regexp_extract_all(col("text"), lit("[a-z]{7,}"), lit(0)))
+            .cast("long").as("n_matches"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+          regexp_extract_all(text, '[a-z]{7,}') AS long_words,
+          list_sort(list_distinct(regexp_extract_all(text, '[a-z]{7,}')))
+            AS distinct_words,
+          CAST(len(regexp_extract_all(text, '[a-z]{7,}')) AS BIGINT)
+            AS n_matches
+        FROM documents ORDER BY doc_id"""),
+    ),
   )
 }

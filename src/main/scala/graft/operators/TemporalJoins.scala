@@ -264,5 +264,37 @@ object TemporalJoins {
           FROM f LEFT JOIN a ON f.user_id = a.user_id AND f.day = a.day
           ORDER BY f.user_id, f.day"""),
     ),
+    // ---- event transition matrix (first-order Markov counts) ---------------
+    // prev→next event-type transition counts with per-source-state ppm
+    // shares: the behavioral-model prep over event sequences. The lag
+    // window and the rollup share the user_id shuffle family; the ppm
+    // normalization is a window over the |types|² grouped result (25
+    // rows), integer-exact. Ties impossible: (ts, event_id) is unique.
+    QueryEntry(
+      "q_transition_matrix",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val pairs = Tables.t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .select(col("event_type").as("cur"),
+            lag(col("event_type"), 1).over(w).as("prev"))
+          .filter(col("prev").isNotNull)
+        pairs.groupBy("prev", "cur").agg(count(lit(1)).as("n"))
+          .withColumn("row_ppm",
+            expr("n * 1000000 div sum(n) over (partition by prev)"))
+          .orderBy("prev", "cur")
+      },
+      Some("""WITH p AS (SELECT event_type AS cur,
+              lag(event_type) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS prev
+            FROM events),
+          c AS (SELECT prev, cur, count(*) AS n FROM p
+            WHERE prev IS NOT NULL GROUP BY 1, 2)
+          SELECT prev, cur, n,
+            n * 1000000 // CAST(sum(n) OVER (PARTITION BY prev) AS BIGINT)
+              AS row_ppm
+          FROM c ORDER BY prev, cur"""),
+    ),
   )
 }
