@@ -329,7 +329,11 @@ object StreamQueries {
         if (rows.isEmpty) {
           s.createDataset(Seq.empty[AttributedPair]).toDF()
         } else {
-          val weekMs = 7L * 86400000L
+          // 4-week batches: the emitted pair SET is batching-invariant
+          // (inner join, lockstep delivery), and each micro-batch pays two
+          // state-store commit rounds — 13 batches keep the replay at the
+          // other harnesses' overhead class instead of 2× it
+          val weekMs = 28L * 86400000L
           val weeks = rows.map(_.getTimestamp(0).getTime / weekMs).distinct.sorted
           val cByW = clicks.groupBy(_.cts.getTime / weekMs)
           val vByW = views.groupBy(_.vts.getTime / weekMs)
@@ -400,28 +404,34 @@ object StreamQueries {
         val weekMs = 7L * 86400000L
         val batches = rows
           .groupBy(_._1.getTime / weekMs).toSeq.sortBy(_._1).map(_._2.toSeq)
-
-        val root = graft.BenchDirs.scratchDir("stream-sink")
-        val g = new graft.tables.Glacier(root)
-        val mem = MemoryStream[(java.sql.Timestamp, Long, Long, Double)]
-        val q = withStreamParts(s) {
-          mem.toDF().toDF("ts", "event_id", "user_id", "value")
-            .writeStream
-            .option("checkpointLocation", checkpointDir())
-            .foreachBatch(GlacierSink.appendBatch(g, "events_sink") _)
-            .start()
+        if (batches.isEmpty) {
+          // empty source → the oracle's empty frame, not a head() crash
+          s.createDataset(Seq.empty[(Long, Long, Double)])
+            .toDF("event_id", "user_id", "value")
+        } else {
+          val root = graft.BenchDirs.scratchDir("stream-sink")
+          val g = new graft.tables.Glacier(root)
+          val mem = MemoryStream[(java.sql.Timestamp, Long, Long, Double)]
+          val q = withStreamParts(s) {
+            mem.toDF().toDF("ts", "event_id", "user_id", "value")
+              .writeStream
+              .option("checkpointLocation", checkpointDir())
+              .foreachBatch(GlacierSink.appendBatch(g, "events_sink") _)
+              .start()
+          }
+          try {
+            batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+          } finally q.stop()
+          // crash-replay: re-deliver batch 0 with its original id — the
+          // sink's high-water mark skips it; duplicates would fail the hash
+          GlacierSink.appendBatch(g, "events_sink")(
+            s.createDataset(batches.head)
+              .toDF("ts", "event_id", "user_id", "value"),
+            0L)
+          g.read(s, "events_sink").get
+            .select(col("event_id"), col("user_id"), col("value"))
+            .orderBy("event_id")
         }
-        try {
-          batches.foreach { b => mem.addData(b); q.processAllAvailable() }
-        } finally q.stop()
-        // crash-replay: re-deliver batch 0 with its original id — the
-        // sink's high-water mark skips it; duplicates would fail the hash
-        GlacierSink.appendBatch(g, "events_sink")(
-          s.createDataset(batches.head).toDF("ts", "event_id", "user_id", "value"),
-          0L)
-        g.read(s, "events_sink").get
-          .select(col("event_id"), col("user_id"), col("value"))
-          .orderBy("event_id")
       },
       Some("""SELECT event_id, user_id, value FROM events
           ORDER BY event_id"""),
