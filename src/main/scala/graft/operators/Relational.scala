@@ -832,6 +832,36 @@ object Relational {
                  ELSE NULL END AS o_orderpriority
           FROM orders ORDER BY o_orderkey"""),
     ),
+    // ---- hive-style partition pruning --------------------------------------
+    // The directory-layout twin of the zone-map/bloom skipping in Glacier:
+    // events written `partitionBy(event_type)`, read back with a partition
+    // predicate — the filter resolves against the file INDEX
+    // (PartitionFilters in the scan, PLANS.md), so non-matching
+    // directories are never listed into the scan, zero data filtering at
+    // runtime. At 100 TB partition columns are the first pruning tier
+    // before footers; the entry hashes the post-prune aggregate.
+    QueryEntry(
+      "q_partition_prune",
+      (s, dir) => {
+        val base = graft.BenchDirs.scratchDir("part-layout")
+        t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("user_id"),
+            col("value"))
+          .write.mode("overwrite").partitionBy("event_type")
+          .parquet(s"$base/ev")
+        s.read.parquet(s"$base/ev")
+          .filter(col("event_type").isin("click", "view"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(28, 6))).cast("double")
+              .as("total"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+            CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+          FROM events WHERE event_type IN ('click', 'view')
+          GROUP BY 1 ORDER BY 1"""),
+    ),
     // ---- first/last/nth_value window functions -----------------------------
     // The value-picker window family (first/last/nth over the FULL frame —
     // last_value over the default running frame is the classic

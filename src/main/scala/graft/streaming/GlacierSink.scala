@@ -21,7 +21,8 @@ import graft.tables.Glacier
   *
   * The state table is carried across commits by the manifest chain (it is
   * a regular table, immune to `expireSnapshots` dropping old manifests),
-  * and the read-back is one tiny parquet file — no job. A production sink
+  * and the read-back is one single-row parquet file — a trivial
+  * one-partition job per micro-batch. A production sink
   * holds the Glacier handle per query; batch order within one stream is
   * serial by contract, so no extra locking is needed beyond commit's own.
   */

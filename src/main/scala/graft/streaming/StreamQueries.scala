@@ -333,10 +333,10 @@ object StreamQueries {
           // (inner join, lockstep delivery), and each micro-batch pays two
           // state-store commit rounds — 13 batches keep the replay at the
           // other harnesses' overhead class instead of 2× it
-          val weekMs = 28L * 86400000L
-          val weeks = rows.map(_.getTimestamp(0).getTime / weekMs).distinct.sorted
-          val cByW = clicks.groupBy(_.cts.getTime / weekMs)
-          val vByW = views.groupBy(_.vts.getTime / weekMs)
+          val sliceMs = 28L * 86400000L
+          val slices = rows.map(_.getTimestamp(0).getTime / sliceMs).distinct.sorted
+          val cByW = clicks.groupBy(_.cts.getTime / sliceMs)
+          val vByW = views.groupBy(_.vts.getTime / sliceMs)
 
           val memC = MemoryStream[ClickEv]
           val memV = MemoryStream[ViewEv]
@@ -356,7 +356,7 @@ object StreamQueries {
           }
           val out =
             try {
-              weeks.foreach { w =>
+              slices.foreach { w =>
                 memC.addData(cByW.getOrElse(w, Array.empty).toSeq)
                 memV.addData(vByW.getOrElse(w, Array.empty).toSeq)
                 q.processAllAvailable()
