@@ -140,6 +140,47 @@ object GraphOps {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Min-hop BFS layers from a deterministic seed set (node ≡ 0 mod 97) —
+    * the crawl loop's abstract form, SQL-checkable: a monotone visited set,
+    * each round's frontier = out-links of the previous frontier anti-joined
+    * against everything already seen, depth = discovery round (mdws's
+    * node-graph ×2 closure generalized to depth d; reference anchor
+    * `osf.py`'s node expansion). Scale shape per level: one src-keyed join
+    * bounded by the frontier, a dst distinct, and an anti-join against
+    * visited — exactly the production loop's shape, where the anti-join is
+    * replaced by the partitioned bloom/cuckoo seen-set probe ([[graft.crawl.SeenSet]])
+    * so visited never re-shuffles; here the exact anti-join IS the point
+    * (the oracle replays it with a recursive CTE). Each level is persisted
+    * so lineage stays one level deep. Returns the per-depth rollup
+    * (n_nodes + node-sum fingerprint), whose grain is maxDepth+1 rows at
+    * any corpus size.
+    */
+  def bfsLayers(docs: DataFrame, maxDepth: Int): DataFrame = {
+    val nDf = docs.agg(count(lit(1)).as("n_docs"))
+    val nodes = docs.select(col("doc_id").as("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = syntheticEdges(nodes, nDf)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = nodes.where(pmod(col("node"), lit(97L)) === 0)
+      .select(col("node"), lit(0L).as("depth"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = visited.select("node")
+    for (d <- 1 to maxDepth) {
+      val next = edges
+        .join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(d.toLong).as("depth"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      visited = visited.unionByName(next)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      frontier = next.select("node")
+    }
+    visited.groupBy("depth")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("sum_nodes"))
+      .orderBy("depth")
+  }
+
   private val sqlN = "(SELECT count(*) FROM documents)"
   private def sqlStep(prev: String, i: Int): String =
     s"""s$i AS (SELECT e.dst AS node,
@@ -178,6 +219,26 @@ object GraphOps {
           ${sqlHitsIter(2, 1)}
           SELECT h2.node, h2.h AS hub, a2.a AS auth
           FROM h2 JOIN a2 USING (node) ORDER BY node"""),
+    ),
+    QueryEntry(
+      "q_bfs_layers",
+      (s, dir) => bfsLayers(t(s, dir, "documents"), 4),
+      Some(s"""WITH RECURSIVE nodes AS (SELECT doc_id AS node FROM documents),
+          e0 AS (SELECT node AS src, (node*7+1) % $sqlN AS dst FROM nodes
+                 UNION ALL SELECT node, (node*13+5) % $sqlN FROM nodes
+                 UNION ALL SELECT node, (node*31+11) % $sqlN FROM nodes),
+          e AS (SELECT DISTINCT src, dst FROM e0 WHERE dst <> src),
+          bfs AS (
+            SELECT node, 0 AS depth FROM nodes WHERE node % 97 = 0
+            UNION
+            SELECT e.dst, b.depth + 1 FROM bfs b JOIN e ON e.src = b.node
+            WHERE b.depth < 4
+          ),
+          dist AS (SELECT node, min(depth) AS depth FROM bfs GROUP BY 1)
+          SELECT CAST(depth AS BIGINT) AS depth,
+                 CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(sum(node) AS BIGINT) AS sum_nodes
+          FROM dist GROUP BY 1 ORDER BY 1"""),
     ),
     QueryEntry(
       "q_triangle_count",

@@ -775,6 +775,36 @@ object Relational {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         WHERE o_orderkey % 10 < 8 ORDER BY o_orderkey"""),
     ),
+    // ---- incremental snapshot consumption (append-table CDC) ---------------
+    // Two Append commits, then readChanges(v1→v2) — the incremental-ETL /
+    // streaming-table read: the delta is a manifest file-LIST difference,
+    // so only the second commit's dirs are ever planned (no data-diff job,
+    // no full scan; the downstream rollup is the materialized-view refresh
+    // from q_incremental_rollup fed by this read). The oracle reproduces
+    // the delta from the source predicate, so the manifest diff is hashed,
+    // not trusted.
+    QueryEntry(
+      "q_snapshot_changes",
+      (s, dir) => {
+        val root = graft.BenchDirs.scratchDir("glacier-cdc")
+        val g = new graft.tables.Glacier(root)
+        val base = t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        val id1 = g.commit(s, Seq(g.TableWrite("ev",
+          base.filter(col("event_id") % 5 < 2), g.Append)))
+        val id2 = g.commit(s, Seq(g.TableWrite("ev",
+          base.filter(col("event_id") % 5 >= 2), g.Append)))
+        g.readChanges(s, "ev", id1, id2).get
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(28, 6))).cast("double")
+              .as("total"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+            CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+          FROM events WHERE event_id % 5 >= 2 GROUP BY 1 ORDER BY 1"""),
+    ),
     // ---- explicit GROUPING SETS (the cube/rollup generalization) -----------
     // The user-chosen grouping-set list ((status, priority), (priority), ())
     // — a set CUBE can't express without waste (it would also compute
@@ -861,6 +891,30 @@ object Relational {
             CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
           FROM events WHERE event_type IN ('click', 'view')
           GROUP BY 1 ORDER BY 1"""),
+    ),
+    // ---- ordered list / string aggregation ----------------------------------
+    // collect_list + array_sort + concat_ws — the "assemble the group's
+    // members into one value" op (training-corpus shard manifests, per-host
+    // URL digests). Spark's collect_list is visit-order-dependent, so the
+    // sort INSIDE the array (a codegen'd per-row op after the one grouping
+    // shuffle) is what makes the result partitioning-invariant and lets
+    // DuckDB's ORDER BY string_agg mirror it exactly; BIGINT renderings are
+    // engine-identical (doubles would not be). Group grain bounds the row
+    // size — at 100 TB you'd cap members per group first (TopKPerKey).
+    QueryEntry(
+      "q_string_agg",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            concat_ws(",",
+              transform(array_sort(collect_list(col("doc_id"))),
+                x => x.cast("string"))).as("doc_ids"))
+          .orderBy("lang", "source")
+      },
+      Some("""SELECT lang, source, count(*) AS n_docs,
+            string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+          FROM documents GROUP BY 1, 2 ORDER BY 1, 2"""),
     ),
     // ---- first/last/nth_value window functions -----------------------------
     // The value-picker window family (first/last/nth over the FULL frame —

@@ -109,6 +109,50 @@ object TemporalJoins {
           FROM uw JOIN c USING (user_id)
           GROUP BY 1, 2 ORDER BY 1, 2"""),
     ),
+    // ---- ordered funnel: view → click → purchase, each step strictly ----
+    // after the user's entry into the previous one. Classic product-
+    // analytics op the reference's event users would run: step k's entry
+    // time = min(ts of step-k events after the step-(k-1) entry), so a
+    // user converts only along a genuinely ordered path (a purchase before
+    // the first view does NOT count). Three passes, but all keyed on
+    // user_id — the per-step aggregates and the joins ride ONE shuffle
+    // partitioning family, and per-user state is one timestamp per step,
+    // so the op holds at any event volume. Output grain = steps (3 rows).
+    QueryEntry(
+      "q_funnel",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("user_id", "event_type", "ts")
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+          .filter(col("ts") > col("t1"))
+          .groupBy("user_id").agg(min(col("ts")).as("t2"))
+        val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+          .filter(col("ts") > col("t2"))
+          .groupBy("user_id").agg(min(col("ts")).as("t3"))
+        v.agg(count(lit(1)).as("n_users")).select(lit("step1_view").as("step"), col("n_users"))
+          .unionByName(c.agg(count(lit(1)).as("n_users"))
+            .select(lit("step2_click").as("step"), col("n_users")))
+          .unionByName(p.agg(count(lit(1)).as("n_users"))
+            .select(lit("step3_purchase").as("step"), col("n_users")))
+          .orderBy("step")
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY 1),
+            c AS (SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN v USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+            p AS (SELECT e.user_id, min(e.ts) AS t3
+              FROM events e JOIN c USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+          SELECT * FROM (
+            SELECT 'step1_view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM v
+            UNION ALL
+            SELECT 'step2_click', CAST(count(*) AS BIGINT) FROM c
+            UNION ALL
+            SELECT 'step3_purchase', CAST(count(*) AS BIGINT) FROM p
+          ) ORDER BY step"""),
+    ),
     // ---- as-of join: each click gets the user's latest prior purchase ----
     QueryEntry(
       "q_asof_join",

@@ -658,6 +658,94 @@ final class Glacier(val root: String) {
     expired
   }
 
+  /** Roll the catalog back to `snapshotId` as a NEW commit (Iceberg's
+    * rollback-to-snapshot): a metadata-only manifest whose table states are
+    * exactly the target's — no data is copied or deleted, the bad
+    * snapshots stay on the history chain (time-travelable, auditable by
+    * `q_table_diff`) until `expireSnapshots` retires them. Tables created
+    * AFTER the target are tombstoned (empty file list → `read` returns
+    * None), so reads at the new head see precisely the target's world.
+    * Goes through the same CAS flip as every commit — a racing committer
+    * loses with a retryable conflict, never a forked chain.
+    */
+  def rollbackTo(snapshotId: Long): Long = {
+    drainPending()
+    synchronized {
+      val target = manifestOpt(snapshotId).getOrElse(throw
+        new IllegalArgumentException(s"snapshot $snapshotId unknown or expired"))
+      val parent = currentManifest
+      val newId = parent.map(_.snapshotId + 1).getOrElse(1L)
+      val tombstones = parent.map(_.tables.keySet).getOrElse(Set.empty[String])
+        .diff(target.tables.keySet).map(_ -> TableState(Nil, 0L, Nil)).toMap
+      flip(newId, parent, target.tables ++ tombstones,
+        Map("rollback_to" -> snapshotId), s"rollback to snap-$snapshotId")
+      newId
+    }
+  }
+
+  /** Delete staged data dirs referenced by NO manifest on disk — CAS
+    * losers' unique-tag staging leftovers and crash debris.
+    * `expireSnapshots` only sweeps when history shrinks; this sweeps
+    * orphans without touching a single retained snapshot. A dir modified
+    * less than `graceMs` ago is kept: it may belong to a commit attempt
+    * still staging in another process whose manifest isn't published yet
+    * (the object-store GC grace-window rule). Returns the deleted dirs.
+    */
+  def removeOrphans(graceMs: Long = 3600000L): Seq[String] = {
+    drainPending()
+    synchronized {
+      val dataRoot = Paths.get(root, "data")
+      if (!Files.isDirectory(dataRoot)) return Nil
+      val ids = scala.util.Using.resource(Files.list(metaDir)) { s =>
+        s.iterator().asScala.map(_.getFileName.toString)
+          .collect { case SnapJsonRe(id) => id.toLong }.toList
+      }
+      val referenced: Set[String] = ids.flatMap(id =>
+        manifestOpt(id).toSeq.flatMap(_.tables.values.flatMap(_.files))).toSet
+      val now = System.currentTimeMillis()
+      val snapDirs = scala.util.Using.resource(Files.list(dataRoot))(
+        _.iterator().asScala.toList)
+      val deleted = snapDirs.flatMap { snapDir =>
+        scala.util.Using.resource(Files.list(snapDir))(
+          _.iterator().asScala.toList).filter { t =>
+            !referenced.contains(t.toString) &&
+              now - Files.getLastModifiedTime(t).toMillis >= graceMs
+          }.map { t => deleteRecursively(t); t.toString }
+      }
+      snapDirs.foreach { d =>
+        if (Files.isDirectory(d) &&
+            scala.util.Using.resource(Files.list(d))(!_.iterator().hasNext))
+          Files.deleteIfExists(d)
+      }
+      deleted.sorted
+    }
+  }
+
+  /** Incremental consumption of an Append-mode table: the rows committed
+    * strictly after `fromId`, up to and including `toId` — the
+    * streaming-table / incremental-ETL read (Iceberg's incremental scan).
+    * Append lineage means `to`'s file list extends `from`'s, so the delta
+    * is a manifest-only LIST difference: the read plans exactly the new
+    * dirs, no data-diff job, no full-table scan, at any table size. A
+    * non-prefix lineage (Replace rewrites, rollbacks) raises — keyed CDC
+    * over rewritten state is `q_table_diff`'s full-outer join, not a file
+    * diff. None when nothing was appended.
+    */
+  def readChanges(spark: SparkSession, table: String,
+                  fromId: Long, toId: Long): Option[DataFrame] = {
+    require(fromId <= toId, s"fromId $fromId > toId $toId")
+    def files(id: Long) = manifestOpt(id).getOrElse(throw
+        new IllegalArgumentException(s"snapshot $id unknown or expired"))
+      .tables.get(table).map(_.files).getOrElse(Nil)
+    val from = files(fromId)
+    val to = files(toId)
+    require(to.startsWith(from),
+      s"$table: snap-$fromId's file list is not a prefix of snap-$toId's " +
+        "(Replace/rollback lineage) — use a keyed diff (q_table_diff) instead")
+    val delta = to.drop(from.size)
+    if (delta.isEmpty) None else Some(spark.read.parquet(delta: _*))
+  }
+
   /** Row count + per-column zone-map stats of one part-file from its
     * parquet FOOTER — a local metadata read (tail of the file), not a data
     * scan; completes per-part lineage (bytes + rows + min/max/nulls) at

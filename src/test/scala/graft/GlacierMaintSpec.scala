@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tables.Glacier
+
+/** Table-maintenance trio added in round 5: rollback-to-snapshot,
+  * orphan-dir GC, and incremental (append-lineage) change reads.
+  */
+class GlacierMaintSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("glacier-maint").toString
+
+  test("rollbackTo restores the target's world as a new commit") {
+    val g = new Glacier(tmpRoot())
+    val df1 = spark.range(10).select(col("id"), (col("id") * 2).as("v"))
+    val s1 = g.commit(spark, Seq(g.TableWrite("t", df1, g.Replace)))
+    val df2 = spark.range(99).select(col("id"), col("id").as("v"))
+    val s2 = g.commit(spark, Seq(
+      g.TableWrite("t", df2, g.Replace),
+      g.TableWrite("t_new", df2, g.Append), // born after s1 → tombstoned
+    ))
+
+    val s3 = g.rollbackTo(s1)
+    assert(s3 === s2 + 1)
+    // head reads = exactly the target's world
+    assert(g.read(spark, "t").get.count() === 10L)
+    assert(g.read(spark, "t_new").isEmpty)
+    assert(g.rowCount("t") === 10L)
+    // the rolled-back snapshot stays time-travelable (audit trail intact)
+    assert(g.read(spark, "t", Some(s2)).get.count() === 99L)
+    assert(g.read(spark, "t_new", Some(s2)).get.count() === 99L)
+    // chain is linear through the rollback commit
+    assert(g.history.map(_.snapshotId) === Seq(s1, s2, s3))
+    assert(g.manifest(s3).metrics("rollback_to") === s1)
+
+    // a further commit on top of the rollback behaves normally
+    val s4 = g.commit(spark, Seq(g.TableWrite("t", df1, g.Append)))
+    assert(g.read(spark, "t", Some(s4)).get.count() === 20L)
+
+    // unknown target refuses
+    intercept[IllegalArgumentException](g.rollbackTo(999L))
+  }
+
+  test("removeOrphans sweeps unreferenced staging dirs, keeps history") {
+    val g = new Glacier(tmpRoot())
+    val df = spark.range(5).toDF("id")
+    g.commit(spark, Seq(g.TableWrite("t", df, g.Append)))
+    g.commit(spark, Seq(g.TableWrite("t", df, g.Append)))
+
+    // fake a CAS loser's staged leftovers: a tagged snap dir no manifest
+    // references
+    val orphan = Paths.get(g.root, "data", "snap-9-deadbeef", "t")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("part-00000.parquet"), "junk")
+
+    // young orphans survive the grace window
+    assert(g.removeOrphans(graceMs = 3600000L) === Nil)
+    assert(Files.isDirectory(orphan))
+
+    val deleted = g.removeOrphans(graceMs = 0L)
+    assert(deleted === Seq(orphan.toString))
+    assert(!Files.exists(orphan.getParent)) // empty snap dir swept too
+    // every referenced dir is intact: both commits still read
+    assert(g.read(spark, "t").get.count() === 10L)
+    assert(g.read(spark, "t", Some(1L)).get.count() === 5L)
+  }
+
+  test("readChanges returns exactly the appended delta, manifest-only") {
+    val g = new Glacier(tmpRoot())
+    val a = spark.range(10).toDF("id")
+    val b = spark.range(10, 25).toDF("id")
+    val s1 = g.commit(spark, Seq(g.TableWrite("t", a, g.Append)))
+    val s2 = g.commit(spark, Seq(g.TableWrite("t", b, g.Append)))
+    val s3 = g.commit(spark, Seq(g.TableWrite("other", a, g.Append)))
+
+    val delta = g.readChanges(spark, "t", s1, s2).get
+    assert(delta.count() === 15L)
+    assert(delta.agg(min(col("id"))).head.getLong(0) === 10L)
+    // untouched span → None
+    assert(g.readChanges(spark, "t", s2, s3).isEmpty)
+    // unknown snapshot refuses
+    intercept[IllegalArgumentException](g.readChanges(spark, "t", 0L, s2))
+
+    // Replace rewrite breaks append lineage → refused, not silently wrong
+    val s4 = g.commit(spark, Seq(g.TableWrite("t", a, g.Replace)))
+    intercept[IllegalArgumentException](g.readChanges(spark, "t", s2, s4))
+  }
+}
