@@ -302,7 +302,10 @@ object DedupOps {
     * regime should use the exact distinct, which the entry emits
     * alongside for the error check).
     */
-  def hllSketch(values: DataFrame): DataFrame = {
+  /** md5-derived HLL (bucket, rank) register columns over `col("t")` —
+    * shared by [[hllSketch]] and the merge entry so the two register
+    * builds cannot drift. */
+  private def hllBucketRank: (Column, Column) = {
     val h = md5(col("t"))
     val b = conv(substring(h, 1, 2), 16, 10).cast("int")
     val rest = substring(h, 3, 30)
@@ -312,18 +315,33 @@ object DedupOps {
       .when(fd.isin("2", "3"), 2)
       .when(fd.isin("4", "5", "6", "7"), 1)
       .otherwise(0)
-    val rank = when(zl === 30, lit(121)).otherwise(zl * 4 + nibz + 1)
-    val reg = values.select(b.as("b"), rank.as("r"))
-      .groupBy("b").agg(max(col("r")).as("m"))
+    (b, when(zl === 30, lit(121)).otherwise(zl * 4 + nibz + 1))
+  }
+
+  /** Order-pinned harmonic fold of a register frame (b, m) → one row
+    * (present, fold) — the estimate's deterministic core. */
+  private def hllFold(reg: DataFrame): DataFrame = {
     val inv = reg.select(col("b"),
       (lit(1.0) /
         expr("CAST(shiftleft(CAST(1 AS BIGINT), least(m, 62)) AS DOUBLE)"))
         .as("iv"))
-    val roll = inv.agg(count(lit(1)).as("present"),
+    inv.agg(count(lit(1)).as("present"),
       aggregate(
         transform(array_sort(collect_list(struct(col("b"), col("iv")))),
           s => s.getField("iv")),
         lit(0.0), _ + _).as("fold"))
+  }
+
+  /** Raw HLL estimate from a (present, fold) roll-up row. */
+  private def hllEstimate: Column =
+    (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) * lit(65536.0) /
+      (col("fold") + (lit(256) - col("present")) * lit(1.0))
+
+  def hllSketch(values: DataFrame): DataFrame = {
+    val (b, rank) = hllBucketRank
+    val reg = values.select(b.as("b"), rank.as("r"))
+      .groupBy("b").agg(max(col("r")).as("m"))
+    val roll = hllFold(reg)
     val exact = values.agg(countDistinct(col("t")).as("exact_distinct"))
     val sumInv = col("fold") + (lit(256) - col("present")) * lit(1.0)
     exact.crossJoin(broadcast(roll))
@@ -331,8 +349,7 @@ object DedupOps {
         lit(256L).as("n_registers"),
         (lit(256L) - col("present")).as("n_zero_registers"),
         sumInv.as("sum_inv"),
-        ((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) * lit(65536.0) /
-          sumInv).as("hll_estimate"))
+        hllEstimate.as("hll_estimate"))
   }
 
   /** Guard for the deliberately-quadratic small-scale reference twins
@@ -769,6 +786,78 @@ object DedupOps {
               (0.7213e0 / (1e0 + 1.079e0 / 256e0)) * 65536e0
                 / (roll.f + (256 - roll.present) * 1e0) AS hll_estimate
             FROM roll, ex"""
+      },
+    ),
+    // ---- HLL sketch mergeability (the map-side-combine property) -----------
+    // What makes sketches work at 100 TB: registers built per shard merge by
+    // per-bucket MAX into exactly the registers a single global build would
+    // produce (max is associative/commutative/idempotent), so cardinality
+    // sketches combine map-side and union across partitions/snapshots for
+    // free. Proven here end-to-end: per-source sketches → merged estimate ==
+    // direct whole-corpus estimate, bit-equal (lossless_merge emitted and
+    // oracle-checked, not just asserted). Shuffle grain: per-source registers
+    // ≤ sources×256 rows, merge ≤ 256 — constant past the one token scan.
+    QueryEntry(
+      "q_sketch_merge",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("source"), explode(shingles(col("text"))).as("t"))
+        val (b, rank) = hllBucketRank
+        val perSrc = toks.select(col("source"), b.as("b"), rank.as("r"))
+          .groupBy("source", "b").agg(max(col("r")).as("m"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val merged = hllFold(perSrc.groupBy("b").agg(max(col("m")).as("m")))
+          .select(hllEstimate.as("merged_estimate"))
+        val direct = hllFold(toks.select(b.as("b"), rank.as("r"))
+            .groupBy("b").agg(max(col("r")).as("m")))
+          .select(hllEstimate.as("direct_estimate"))
+        perSrc.agg(countDistinct(col("source")).as("n_sources"))
+          .crossJoin(broadcast(merged))
+          .crossJoin(broadcast(direct))
+          .select(col("n_sources"), col("merged_estimate"),
+            col("direct_estimate"),
+            (col("merged_estimate") === col("direct_estimate"))
+              .as("lossless_merge"))
+      },
+      Some {
+        val sh = sqlShingles("text")
+        s"""WITH tok AS (SELECT source, unnest($sh) AS t FROM documents
+              WHERE len(string_split(text,' ')) >= $ShingleSize),
+            tv AS (SELECT source, md5(t) AS h FROM tok),
+            rr AS (SELECT source,
+                CAST(('0x' || substr(h, 1, 2)) AS INTEGER) AS b,
+                length(regexp_extract(substr(h, 3, 30), '^0*')) AS zlen,
+                substr(h, 3 + length(regexp_extract(substr(h, 3, 30), '^0*')), 1) AS fd
+              FROM tv),
+            rk AS (SELECT source, b,
+                CASE WHEN zlen = 30 THEN 121
+                     ELSE zlen * 4 +
+                       (CASE WHEN fd = '1' THEN 3
+                             WHEN fd IN ('2','3') THEN 2
+                             WHEN fd IN ('4','5','6','7') THEN 1
+                             ELSE 0 END) + 1 END AS r
+              FROM rr),
+            psrc AS (SELECT source, b, max(r) AS m FROM rk GROUP BY 1, 2),
+            mreg AS (SELECT b, max(m) AS m FROM psrc GROUP BY 1),
+            dreg AS (SELECT b, max(r) AS m FROM rk GROUP BY 1),
+            mroll AS (SELECT count(*) AS present,
+                list_aggregate(list(1e0 / CAST((CAST(1 AS BIGINT) << least(m, 62)) AS DOUBLE) ORDER BY b), 'sum') AS f
+              FROM mreg),
+            droll AS (SELECT count(*) AS present,
+                list_aggregate(list(1e0 / CAST((CAST(1 AS BIGINT) << least(m, 62)) AS DOUBLE) ORDER BY b), 'sum') AS f
+              FROM dreg),
+            ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+              FROM psrc)
+            SELECT ns.n_sources,
+              (0.7213e0 / (1e0 + 1.079e0 / 256e0)) * 65536e0
+                / (mroll.f + (256 - mroll.present) * 1e0) AS merged_estimate,
+              (0.7213e0 / (1e0 + 1.079e0 / 256e0)) * 65536e0
+                / (droll.f + (256 - droll.present) * 1e0) AS direct_estimate,
+              ((0.7213e0 / (1e0 + 1.079e0 / 256e0)) * 65536e0
+                / (mroll.f + (256 - mroll.present) * 1e0)) =
+              ((0.7213e0 / (1e0 + 1.079e0 / 256e0)) * 65536e0
+                / (droll.f + (256 - droll.present) * 1e0)) AS lossless_merge
+            FROM ns, mroll, droll"""
       },
     ),
     // ---- canonical representative per near-dup cluster ---------------------

@@ -404,6 +404,55 @@ object Relational {
                * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS pearson_r
           FROM m"""),
     ),
+    // ---- statistical outlier gate (z-score from exact integer moments) -----
+    // The distribution-based quality filter (drop events > 2σ from their
+    // type's mean — the numeric twin of the text quality gates). Values are
+    // deci-quantized to BIGINT first, so mean/σ derive from EXACT integer
+    // sums (q_corr_stats idiom: everything < 2^53 through ~sf10, so every
+    // double cast is exact and the flag comparison is bit-identical across
+    // engines — a float-accumulated stddev would not be). Two passes over
+    // the event_type key: the 5-row stats frame broadcasts back, so the
+    // flag pass is scan + broadcast-hash-join, no second big shuffle.
+    QueryEntry(
+      "q_outlier_filter",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_type"),
+          floor(col("value") * 10).cast("long").as("vq"))
+        val mq = col("svq").cast("double") / col("n")
+        val stats = ev.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("vq")).as("svq"),
+            sum(col("vq") * col("vq")).as("svv"))
+          .select(col("event_type"), col("n"), mq.as("mean_q"),
+            sqrt(col("svv").cast("double") / col("n") - mq * mq).as("std_q"))
+        val outliers = ev.join(broadcast(stats), "event_type")
+          .groupBy("event_type")
+          .agg(sum(when(abs(col("vq").cast("double") - col("mean_q")) >
+            lit(2.0) * col("std_q"), 1L).otherwise(0L)).as("n_outliers"))
+        stats.join(outliers, "event_type")
+          .select(col("event_type"), col("n"), col("n_outliers"),
+            (col("mean_q") / lit(10.0)).as("mean_value"),
+            (col("std_q") / lit(10.0)).as("std_value"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+              CAST(floor(value * 10) AS BIGINT) AS vq FROM events),
+            st AS (SELECT event_type, count(*) AS n,
+                CAST(sum(vq) AS BIGINT) AS svq,
+                CAST(sum(vq*vq) AS BIGINT) AS svv
+              FROM e GROUP BY 1),
+            sd AS (SELECT event_type, n,
+                CAST(svq AS DOUBLE) / n AS mean_q,
+                sqrt(CAST(svv AS DOUBLE) / n -
+                  (CAST(svq AS DOUBLE) / n) * (CAST(svq AS DOUBLE) / n)) AS std_q
+              FROM st),
+            o AS (SELECT e.event_type,
+                CAST(sum(CASE WHEN abs(CAST(e.vq AS DOUBLE) - sd.mean_q)
+                  > 2e0 * sd.std_q THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+              FROM e JOIN sd USING (event_type) GROUP BY 1)
+          SELECT sd.event_type, sd.n, o.n_outliers,
+            sd.mean_q / 10e0 AS mean_value, sd.std_q / 10e0 AS std_value
+          FROM sd JOIN o USING (event_type) ORDER BY 1"""),
+    ),
     // ---- content-addressed table checksum (pipeline integrity gate) ---------
     // order/partitioning-independent fingerprint per table: sum + xor of a
     // 32-bit md5 prefix over the canonical row rendering — what a multi-hop
