@@ -40,6 +40,18 @@ object Relational {
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** Verbatim two-engine text for q_correlated_subquery: an EXISTS and a
+    * correlated scalar count over the same outer row. */
+  private val CorrelatedSubqueryQuery: String =
+    """SELECT o.o_orderkey, o.o_orderstatus
+      FROM orders o
+      WHERE EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = o.o_custkey
+                      AND c.c_mktsegment = 'BUILDING')
+        AND (SELECT count(*) FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey) >= 5
+      ORDER BY o.o_orderkey"""
+
   def entries: Seq[QueryEntry] = Seq(
     // ---- A-ops: aggregation --------------------------------------------
     QueryEntry(
@@ -363,6 +375,91 @@ object Relational {
         df                                 // state from later queries
       },
       Some(SqlSurfaceQuery),
+    ),
+    // ---- correlated subqueries through the SQL surface ----------------------
+    // EXISTS (→ Catalyst left-semi rewrite) and a correlated scalar count
+    // (→ aggregate + outer-join rewrite) in ONE verbatim ANSI text both
+    // engines run — the de-correlation surface reference users' SQL leans
+    // on. Emitted values are ints/strings only (a correlated avg() of
+    // doubles would be visit-order-dependent in Spark's float sum).
+    QueryEntry(
+      "q_correlated_subquery",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders")
+        t(s, dir, "customer").createOrReplaceTempView("customer")
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        val df = s.sql(CorrelatedSubqueryQuery)
+        Seq("orders", "customer", "lineitem").foreach(s.catalog.dropTempView)
+        df
+      },
+      Some(CorrelatedSubqueryQuery),
+    ),
+    // ---- TPC-H Q3 shape: selective 3-table join + grouped top-k -------------
+    // The canonical multi-join: a highly selective dimension filter
+    // (c_mktsegment) that Catalyst broadcasts, a date-partitioned fact
+    // filter pushed to both scans, then one grouped sum and a bounded
+    // top-10. Per-row revenue has ≤4 decimals (2dp price × 2dp discount),
+    // so the DECIMAL(28,6) cast is exact and the sum order-free. The
+    // deliberately declarative form is the point: join order, broadcast
+    // choice and pushdown all come from the optimizer (PLANS.md audit).
+    QueryEntry(
+      "q_priority_join",
+      (s, dir) => {
+        val cut = lit("1998-01-01").cast("timestamp")
+        val cust = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val ord = t(s, dir, "orders").filter(col("o_orderdate") < cut)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        val li = t(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+          .select(col("l_orderkey"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast(DecimalType(28, 6)).as("rev"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(sum(col("rev")).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+          .limit(10)
+          .select("l_orderkey", "o_orderdate", "revenue")
+      },
+      Some("""SELECT l_orderkey, o_orderdate,
+            CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+              AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+          FROM customer, orders, lineitem
+          WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+            AND l_orderkey = o_orderkey
+            AND o_orderdate < TIMESTAMP '1998-01-01'
+            AND l_shipdate > TIMESTAMP '1998-01-01'
+          GROUP BY 1, 2
+          ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"""),
+    ),
+    // ---- null semantics: null-safe equality, NULL groups, coalesce ----------
+    // SQL's three-valued logic made portable: nullif plants NULLs, groupBy
+    // keeps NULL as a group in both engines, and the join runs on <=>
+    // (IS NOT DISTINCT FROM) so the NULL groups MATCH — a plain = join
+    // silently drops them, the classic dedup-on-nullable-key bug. Output
+    // key is coalesce-filled so row ordering/hashing never sees a NULL.
+    QueryEntry(
+      "q_null_semantics",
+      (s, dir) => {
+        val a = t(s, dir, "orders")
+          .select(nullif(col("o_orderkey") % 7, lit(0L)).as("k"))
+          .groupBy("k").agg(count(lit(1)).as("n_orders"))
+        val b = t(s, dir, "lineitem")
+          .select(nullif(col("l_orderkey") % 7, lit(0L)).as("kb"))
+          .groupBy("kb").agg(count(lit(1)).as("n_items"))
+        a.join(b, col("k") <=> col("kb"))
+          .select(coalesce(col("k"), lit(-1L)).as("k_filled"),
+            col("n_orders"), col("n_items"))
+          .orderBy("k_filled")
+      },
+      Some("""WITH a AS (SELECT nullif(o_orderkey % 7, 0) AS k,
+              count(*) AS n_orders FROM orders GROUP BY 1),
+            b AS (SELECT nullif(l_orderkey % 7, 0) AS kb,
+              count(*) AS n_items FROM lineitem GROUP BY 1)
+          SELECT coalesce(a.k, -1) AS k_filled, a.n_orders, b.n_items
+          FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.kb
+          ORDER BY k_filled"""),
     ),
     // ---- Pearson correlation via exact integer moments ----------------------
     // corr(quantity, discount·100) from the five raw moments, every one an
