@@ -689,6 +689,81 @@ object Relational {
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
           ORDER BY event_id"""),
     ),
+    // ---- RANGE-frame window (trailing time window, not row count) -----------
+    // The moving frame defined by the ORDER VALUE: every event sees the
+    // count/sum of its user's events in the trailing hour — rows-frames
+    // can't express this when event spacing varies (the rate-limit /
+    // burst-detection shape: "requests from this host in the last N
+    // seconds"). Same one user_id window exchange as the rows twin; the
+    // frame bound is evaluated per row against the sorted run. Epoch
+    // seconds keep the range arithmetic integral and engine-portable.
+    QueryEntry(
+      "q_window_range_frame",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_sec")).rangeBetween(-3599L, 0L)
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            unix_timestamp(col("ts")).as("ts_sec"),
+            col("value").cast("decimal(28, 6)").as("vd"))
+          .select(col("event_id"), col("user_id"),
+            count(lit(1)).over(w).as("n_last_hour"),
+            sum(col("vd")).over(w).cast("double").as("sum_last_hour"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+            count(*) OVER w AS n_last_hour,
+            CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+              AS sum_last_hour
+          FROM (SELECT event_id, user_id, value,
+                  CAST(epoch(ts) AS BIGINT) AS ts_sec FROM events)
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                       RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+          ORDER BY event_id"""),
+    ),
+    // ---- array set algebra (intersect / union / except, order-pinned) -------
+    // Per-row set operations over token arrays — the candidate-pair overlap
+    // primitive (shared shingles between two docs) as codegen'd array
+    // functions instead of an explode+join: zero shuffles, one Project.
+    // Results are array_sort'ed so the SQL mirror (list_sort of DuckDB's
+    // list algebra) renders identically.
+    QueryEntry(
+      "q_array_set_ops",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+        val a = d.filter(col("doc_id") % 2 === 0)
+          .select(expr("doc_id div 2").as("pair_id"), col("w").as("wa"))
+        val b = d.filter(col("doc_id") % 2 === 1)
+          .select(expr("(doc_id - 1) div 2").as("pair_id"), col("w").as("wb"))
+        a.join(b, "pair_id")
+          .select(col("pair_id"),
+            size(array_intersect(col("wa"), col("wb"))).cast("long")
+              .as("n_shared"),
+            size(array_union(col("wa"), col("wb"))).cast("long").as("n_union"),
+            size(array_except(col("wa"), col("wb"))).cast("long")
+              .as("n_only_a"),
+            concat_ws(" ",
+              slice(array_sort(array_intersect(col("wa"), col("wb"))), 1, 5))
+              .as("shared_head"))
+          .orderBy("pair_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents),
+            a AS (SELECT doc_id // 2 AS pair_id, w AS wa FROM d
+                  WHERE doc_id % 2 = 0),
+            b AS (SELECT (doc_id - 1) // 2 AS pair_id, w AS wb FROM d
+                  WHERE doc_id % 2 = 1)
+          SELECT pair_id,
+            CAST(len(list_intersect(wa, wb)) AS BIGINT) AS n_shared,
+            CAST(len(list_distinct(wa || wb)) AS BIGINT) AS n_union,
+            CAST(len(list_filter(list_distinct(wa),
+              x -> NOT list_contains(wb, x))) AS BIGINT) AS n_only_a,
+            array_to_string(list_sort(list_intersect(wa, wb))[1:5], ' ')
+              AS shared_head
+          FROM a JOIN b USING (pair_id) ORDER BY pair_id"""),
+    ),
     // ---- snapshot diff / CDC between two table versions ---------------------
     // see [[snapshotDiff]]: keyed full-outer join, the dataset-versioning
     // primitive (what changed between two Glacier snapshots of a corpus)
@@ -950,6 +1025,29 @@ object Relational {
       Some("""SELECT event_type, count(*) AS n,
             CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
           FROM events WHERE event_id % 5 >= 2 GROUP BY 1 ORDER BY 1"""),
+    ),
+    // ---- write-audit-publish through the driver gate -------------------------
+    // The production ingestion pattern: stage the new corpus version, run
+    // the audit on the STAGED state (readers still see the old snapshot),
+    // publish only if the audit passes. Here the audit is a count gate;
+    // the entry returns the post-publish read, so the full
+    // stage→audit→publish path is what the oracle hashes.
+    QueryEntry(
+      "q_wap_publish",
+      (s, dir) => {
+        val root = graft.BenchDirs.scratchDir("glacier-wap")
+        val g = new graft.tables.Glacier(root)
+        val v = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .filter(col("o_orderkey") % 3 =!= 0)
+        val sc = g.stageCommit(s, Seq(g.TableWrite("orders_v", v, g.Replace)))
+        val audited = g.readStaged(s, sc, "orders_v").get.count()
+        require(audited > 0, "WAP audit failed: staged table is empty")
+        g.publishStaged(sc)
+        g.read(s, "orders_v").get.orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+          WHERE o_orderkey % 3 <> 0 ORDER BY o_orderkey"""),
     ),
     // ---- explicit GROUPING SETS (the cube/rollup generalization) -----------
     // The user-chosen grouping-set list ((status, priority), (priority), ())

@@ -331,37 +331,50 @@ final class Glacier(val root: String) {
     * winner's — the loser retries cleanly and its orphan dirs await
     * expiry.
     */
+  /** The commit-critical-section guard: JVM-wide per-root monitor nested
+    * inside an OS file lock on `meta/COMMIT_LOCK` — covers same-process
+    * AND cross-process committers. Every CURRENT mutation goes through
+    * here (flip, publishStaged). */
+  private def withCommitLock[T](f: => T): T = synchronized {
+    Glacier.rootLock(root).synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        metaDir.resolve("COMMIT_LOCK"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val osLock = ch.lock()
+        try f
+        finally osLock.release()
+      } finally ch.close()
+    }
+  }
+
+  /** Atomic CURRENT pointer swap (tmp-write + ATOMIC_MOVE). Caller holds
+    * the commit lock. */
+  private def swapCurrent(newId: Long): Unit = {
+    val tmp = metaDir.resolve(s"CURRENT.tmp-$newId")
+    Files.writeString(tmp, newId.toString)
+    Files.move(tmp, metaDir.resolve("CURRENT"),
+               StandardCopyOption.ATOMIC_MOVE,
+               StandardCopyOption.REPLACE_EXISTING)
+  }
+
   private def flip(newId: Long, parent: Option[Manifest],
                    written: Map[String, TableState],
                    metrics: Map[String, Long], note: String): Unit =
-    synchronized {
-      Glacier.rootLock(root).synchronized {
-        val ch = java.nio.channels.FileChannel.open(
-          metaDir.resolve("COMMIT_LOCK"),
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.WRITE)
-        try {
-          val osLock = ch.lock()
-          try {
-            val cur = currentSnapshotId
-            if (cur != parent.map(_.snapshotId))
-              throw new Glacier.CommitConflictException(
-                s"CURRENT moved to $cur while committing snap-$newId on " +
-                  s"parent ${parent.map(_.snapshotId)}; re-read and retry")
-            val carried =
-              parent.map(_.tables).getOrElse(Map.empty) -- written.keySet
-            val m = Manifest(newId, parent.map(_.snapshotId),
-                             carried ++ written, metrics, note)
-            Files.writeString(metaDir.resolve(s"snap-$newId.json"),
-                              Serialization.writePretty(m))
-            val tmp = metaDir.resolve(s"CURRENT.tmp-$newId")
-            Files.writeString(tmp, newId.toString)
-            Files.move(tmp, metaDir.resolve("CURRENT"),
-                       StandardCopyOption.ATOMIC_MOVE,
-                       StandardCopyOption.REPLACE_EXISTING)
-          } finally osLock.release()
-        } finally ch.close()
-      }
+    withCommitLock {
+      val cur = currentSnapshotId
+      if (cur != parent.map(_.snapshotId))
+        throw new Glacier.CommitConflictException(
+          s"CURRENT moved to $cur while committing snap-$newId on " +
+            s"parent ${parent.map(_.snapshotId)}; re-read and retry")
+      val carried =
+        parent.map(_.tables).getOrElse(Map.empty) -- written.keySet
+      val m = Manifest(newId, parent.map(_.snapshotId),
+                       carried ++ written, metrics, note)
+      Files.writeString(metaDir.resolve(s"snap-$newId.json"),
+                        Serialization.writePretty(m))
+      swapCurrent(newId)
     }
 
   // ---- pipelined commit ----------------------------------------------------
@@ -640,7 +653,8 @@ final class Glacier(val root: String) {
     val retained = history.map(_.snapshotId).takeRight(keepLast).toSet
     val expired = all.filterNot(retained)
     val referencedDirs: Set[String] = retained.flatMap(id =>
-      manifestOpt(id).toSeq.flatMap(_.tables.values.flatMap(_.files)))
+      manifestOpt(id).toSeq.flatMap(_.tables.values.flatMap(_.files))) ++
+      stagedReferencedDirs
     expired.foreach(id => Files.deleteIfExists(metaDir.resolve(s"snap-$id.json")))
     val dataRoot = Paths.get(root, "data")
     if (Files.isDirectory(dataRoot)) {
@@ -701,7 +715,8 @@ final class Glacier(val root: String) {
           .collect { case SnapJsonRe(id) => id.toLong }.toList
       }
       val referenced: Set[String] = ids.flatMap(id =>
-        manifestOpt(id).toSeq.flatMap(_.tables.values.flatMap(_.files))).toSet
+        manifestOpt(id).toSeq.flatMap(_.tables.values.flatMap(_.files)))
+        .toSet ++ stagedReferencedDirs
       val now = System.currentTimeMillis()
       val snapDirs = scala.util.Using.resource(Files.list(dataRoot))(
         _.iterator().asScala.toList)
@@ -744,6 +759,105 @@ final class Glacier(val root: String) {
         "(Replace/rollback lineage) — use a keyed diff (q_table_diff) instead")
     val delta = to.drop(from.size)
     if (delta.isEmpty) None else Some(spark.read.parquet(delta: _*))
+  }
+
+  // ---- write-audit-publish (WAP) -------------------------------------------
+
+  /** Stage a complete commit — data dirs AND manifest — WITHOUT advancing
+    * CURRENT (Iceberg's write-audit-publish): readers keep seeing the old
+    * snapshot while validation queries audit the staged state via
+    * [[readStaged]]; [[publishStaged]] then makes it current with the same
+    * CAS rule as every commit, or [[abortStaged]] discards it. The staged
+    * manifest lives at `meta/staged-<id>-<tag>.json` (never `snap-`), so a
+    * commit that lands during the audit can take the id without colliding
+    * — the stale staged attempt just loses its publish CAS.
+    */
+  def stageCommit(spark: SparkSession, writes: Seq[TableWrite],
+                  metrics: => Map[String, Long] = Map.empty,
+                  note: String = ""): StagedCommit = {
+    drainPending()
+    synchronized {
+      Files.createDirectories(metaDir)
+      val parent = currentManifest
+      val newId = parent.map(_.snapshotId + 1).getOrElse(1L)
+      val stageRoot = newStagingDir(newId)
+      writeStages(stageRoot, writes)
+      val written = tableStates(stageRoot, writes, parent)
+      val carried = parent.map(_.tables).getOrElse(Map.empty) -- written.keySet
+      val m = Manifest(newId, parent.map(_.snapshotId),
+                       carried ++ written, metrics, note)
+      val tag = stageRoot.substring(stageRoot.lastIndexOf('-') + 1)
+      Files.writeString(metaDir.resolve(s"staged-$newId-$tag.json"),
+                        Serialization.writePretty(m))
+      StagedCommit(newId, parent.map(_.snapshotId), tag)
+    }
+  }
+
+  private def stagedManifestPath(sc: StagedCommit): Path =
+    metaDir.resolve(s"staged-${sc.snapshotId}-${sc.tag}.json")
+
+  private def stagedManifest(sc: StagedCommit): Manifest = {
+    val p = stagedManifestPath(sc)
+    require(Files.exists(p), s"staged commit ${sc.snapshotId}-${sc.tag} " +
+      "does not exist (published, aborted, or never staged here)")
+    JsonMethods.parse(Files.readString(p)).extract[Manifest]
+  }
+
+  /** Audit read of a staged commit's table (the WAP validation step). */
+  def readStaged(spark: SparkSession, sc: StagedCommit,
+                 table: String): Option[DataFrame] =
+    stagedManifest(sc).tables.get(table).filter(_.files.nonEmpty)
+      .map(st => spark.read.parquet(st.files: _*))
+
+  /** Publish a staged commit: CAS on the parent (CURRENT must not have
+    * moved during the audit), promote the staged manifest to `snap-<id>`,
+    * swap CURRENT. A loser gets the retryable
+    * [[Glacier.CommitConflictException]] and should re-stage on the new
+    * head; its data dirs await [[removeOrphans]]. */
+  def publishStaged(sc: StagedCommit): Long = {
+    drainPending()
+    withCommitLock {
+      val m = stagedManifest(sc)
+      val cur = currentSnapshotId
+      if (cur != m.parentId)
+        throw new Glacier.CommitConflictException(
+          s"CURRENT moved to $cur during the audit of staged " +
+            s"snap-${m.snapshotId} on parent ${m.parentId}; re-stage and retry")
+      Files.move(stagedManifestPath(sc),
+                 metaDir.resolve(s"snap-${m.snapshotId}.json"),
+                 StandardCopyOption.ATOMIC_MOVE)
+      swapCurrent(m.snapshotId)
+      m.snapshotId
+    }
+  }
+
+  /** Discard a staged commit: delete its manifest and the data dirs IT
+    * wrote (carried parent dirs are untouched — they belong to published
+    * history). */
+  def abortStaged(sc: StagedCommit): Unit = synchronized {
+    val m = stagedManifest(sc)
+    Files.deleteIfExists(stagedManifestPath(sc))
+    m.tables.values.flatMap(_.files)
+      .filter(d => snapIdOf(d).contains(sc.snapshotId) &&
+        d.contains(s"-${sc.tag}/"))
+      .map(d => Paths.get(d).getParent).toSet[Path]
+      .foreach(deleteRecursively)
+  }
+
+  /** Data dirs referenced by staged (unpublished) manifests — protected
+    * from [[removeOrphans]] and [[expireSnapshots]] sweeps while the audit
+    * is in flight. */
+  private def stagedReferencedDirs: Set[String] = {
+    if (!Files.isDirectory(metaDir)) return Set.empty
+    val staged = scala.util.Using.resource(Files.list(metaDir)) { s =>
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("staged-") && n.endsWith(".json")).toList
+    }
+    staged.flatMap { n =>
+      scala.util.Try(JsonMethods.parse(
+          Files.readString(metaDir.resolve(n))).extract[Manifest])
+        .toOption.toSeq.flatMap(_.tables.values.flatMap(_.files))
+    }.toSet
   }
 
   /** Row count + per-column zone-map stats of one part-file from its
@@ -932,6 +1046,12 @@ object Glacier {
                              stats: Map[String, ColStats] = Map.empty)
   final case class TableState(files: List[String], rows: Long,
                               partitions: List[FileEntry])
+
+  /** Handle to a staged (write-audit-publish) commit: the would-be
+    * snapshot id, the parent it was built on (the publish CAS check), and
+    * the unique staging tag. */
+  final case class StagedCommit(snapshotId: Long, parentId: Option[Long],
+                                tag: String)
   final case class Manifest(
       snapshotId: Long,
       parentId: Option[Long],

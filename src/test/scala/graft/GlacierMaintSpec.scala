@@ -71,6 +71,47 @@ class GlacierMaintSpec extends AnyFunSuite {
     assert(g.read(spark, "t", Some(1L)).get.count() === 5L)
   }
 
+  test("write-audit-publish: stage, audit, publish / conflict / abort") {
+    val g = new Glacier(tmpRoot())
+    val base = spark.range(10).toDF("id")
+    g.commit(spark, Seq(g.TableWrite("t", base, g.Replace)))
+
+    // stage: CURRENT unchanged, audit reads see the staged state
+    val sc = g.stageCommit(spark,
+      Seq(g.TableWrite("t", spark.range(50).toDF("id"), g.Replace)))
+    assert(g.currentSnapshotId === Some(1L))
+    assert(g.read(spark, "t").get.count() === 10L) // readers unaffected
+    assert(g.readStaged(spark, sc, "t").get.count() === 50L) // the audit
+    // staged dirs survive orphan GC while the audit is in flight
+    assert(g.removeOrphans(graceMs = 0L) === Nil)
+
+    // publish: CURRENT advances, staged manifest becomes the snapshot
+    val id = g.publishStaged(sc)
+    assert(g.currentSnapshotId === Some(id))
+    assert(g.read(spark, "t").get.count() === 50L)
+    assert(g.history.map(_.snapshotId) === Seq(1L, id))
+    // double-publish refuses (manifest was promoted)
+    intercept[IllegalArgumentException](g.publishStaged(sc))
+
+    // conflict: a commit landing during the audit wins; publish loses CAS
+    val stale = g.stageCommit(spark,
+      Seq(g.TableWrite("t", spark.range(7).toDF("id"), g.Replace)))
+    g.commit(spark, Seq(g.TableWrite("t", base, g.Append)))
+    intercept[graft.tables.Glacier.CommitConflictException](
+      g.publishStaged(stale))
+    assert(g.read(spark, "t").get.count() === 60L) // winner intact
+
+    // abort: staged manifest + its data dirs gone, carried history intact
+    val doomed = g.stageCommit(spark,
+      Seq(g.TableWrite("t2", spark.range(3).toDF("id"), g.Append)))
+    g.abortStaged(doomed)
+    intercept[IllegalArgumentException](g.readStaged(spark, doomed, "t2"))
+    assert(g.read(spark, "t").get.count() === 60L)
+    // the stale loser's dirs are sweepable orphans now (abort it first)
+    g.abortStaged(stale)
+    assert(g.removeOrphans(graceMs = 0L) === Nil) // aborts already swept
+  }
+
   test("readChanges returns exactly the appended delta, manifest-only") {
     val g = new Glacier(tmpRoot())
     val a = spark.range(10).toDF("id")
