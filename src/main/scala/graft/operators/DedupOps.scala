@@ -964,6 +964,35 @@ object DedupOps {
                md5(string_agg(chunk, chr(10) ORDER BY idx)) AS kept_sig
         FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id"""),
     ),
+    // ---- fuzzy ID matching (edit-distance pairs within prefix blocks) ------
+    // Entity resolution over near-identical identifiers (OCR'd invoice
+    // numbers, typo'd SKUs, mirrored URLs): block on the 16-char name
+    // prefix — the blocking key bounds the quadratic exactly as LSH bands
+    // bound MinHash — then codegen'd levenshtein == 1 inside the block (no
+    // UDF). ONE shuffle on the block key; the guard refuses unbounded
+    // blocks, naming the sketch flagship.
+    QueryEntry(
+      "q_fuzzy_id_pairs",
+      (s, dir) => {
+        val f = t(s, dir, "customer")
+          .select(col("c_name").as("nm"),
+            substring(col("c_name"), 1, 16).as("blk"))
+        val g = requireBoundedBlocks(f, Seq("blk"), "q_fuzzy_id_pairs",
+          "q_minhash_pairs")
+        val a = g.select(col("nm").as("wa"), col("blk"))
+        val b = g.select(col("nm").as("wb"), col("blk"))
+        a.join(b, "blk").filter(col("wa") < col("wb"))
+          .filter(levenshtein(col("wa"), col("wb")) === 1)
+          .select(col("wa"), col("wb"))
+          .orderBy("wa", "wb")
+      },
+      Some("""WITH f AS (SELECT c_name AS nm, substr(c_name, 1, 16) AS blk
+              FROM customer)
+          SELECT a.nm AS wa, b.nm AS wb
+          FROM f a JOIN f b ON a.blk = b.blk AND a.nm < b.nm
+          WHERE levenshtein(a.nm, b.nm) = 1
+          ORDER BY wa, wb"""),
+    ),
     // ---- duplicated-span detection (stride-1 rolling windows) --------------
     // see [[duplicatedSpans]]: cross-document boilerplate via overlapping
     // 12-token windows; only hashes shuffle, never text

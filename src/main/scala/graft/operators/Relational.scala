@@ -52,6 +52,35 @@ object Relational {
              WHERE l.l_orderkey = o.o_orderkey) >= 5
       ORDER BY o.o_orderkey"""
 
+  /** Verbatim two-engine text for q_recursive_cte: the binary-heap parent
+    * edge (parent = floor(id/2)) makes the hierarchy derivable from the
+    * customer table itself — no auxiliary edge table — and `/` is double
+    * division in BOTH engines, so FLOOR(x/2) is portable integer halving. */
+  private val RecursiveCteQuery: String =
+    """WITH RECURSIVE tree(id, depth) AS (
+        SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS depth
+        UNION ALL
+        SELECT c.c_custkey, t.depth + 1
+        FROM customer c JOIN tree t
+          ON CAST(FLOOR(c.c_custkey / 2) AS BIGINT) = t.id
+        WHERE c.c_custkey > 0
+      )
+      SELECT id, depth FROM tree ORDER BY id"""
+
+  /** Verbatim two-engine text for q_lateral_topk: correlated LATERAL
+    * subquery with ORDER BY + LIMIT — per-outer-row top-k through the SQL
+    * surface. Cents quantization keeps the emitted money column integral
+    * (rendered doubles differ across engines). */
+  private val LateralTopkQuery: String =
+    """SELECT n.n_name, l.c_name,
+        CAST(ROUND(l.c_acctbal * 100) AS BIGINT) AS acctbal_cents
+      FROM nation n, LATERAL (
+        SELECT c_name, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 3
+      ) l
+      ORDER BY n.n_name, acctbal_cents DESC, l.c_name"""
+
   def entries: Seq[QueryEntry] = Seq(
     // ---- A-ops: aggregation --------------------------------------------
     QueryEntry(
@@ -763,6 +792,219 @@ object Relational {
             array_to_string(list_sort(list_intersect(wa, wb))[1:5], ' ')
               AS shared_head
           FROM a JOIN b USING (pair_id) ORDER BY pair_id"""),
+    ),
+    // ---- recursive CTE (iterative UnionLoop) --------------------------------
+    // WITH RECURSIVE through the SQL surface: per-node depth over the
+    // implicit binary-heap hierarchy (parent = floor(id/2)) of customer
+    // keys — ONE verbatim ANSI text both engines run. Spark executes it as
+    // an iterative UnionLoop: each level is a distributed hash join of the
+    // current frontier against the child scan, so depth-D recursion costs
+    // D narrow joins (log2 N here), never a self-cross-product — the
+    // hierarchy / reachability primitive (category trees, org charts,
+    // crawl-depth closures) at cluster scale.
+    QueryEntry(
+      "q_recursive_cte",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("customer")
+        val df = s.sql(RecursiveCteQuery)
+        s.catalog.dropTempView("customer")
+        df
+      },
+      Some(RecursiveCteQuery),
+    ),
+    // ---- correlated LATERAL top-k -------------------------------------------
+    // Per-nation top-3 customers by balance via LATERAL (... ORDER BY ...
+    // LIMIT k): the per-row-subquery surface reference users write.
+    // Catalyst decorrelates the limit into a rank window under a single
+    // equi-join — no per-outer-row re-execution, one shuffle (plan-audited
+    // in PLANS.md).
+    QueryEntry(
+      "q_lateral_topk",
+      (s, dir) => {
+        t(s, dir, "nation").createOrReplaceTempView("nation")
+        t(s, dir, "customer").createOrReplaceTempView("customer")
+        val df = s.sql(LateralTopkQuery)
+        s.catalog.dropTempView("nation")
+        s.catalog.dropTempView("customer")
+        df
+      },
+      Some(LateralTopkQuery),
+    ),
+    // ---- exact multi-quantile (percentile agg) ------------------------------
+    // Exact q25/q50/q75 of line-item price per return flag. Quartiles over
+    // BIGINT cents are deliberate: (N-1)*p has fraction in {0, 1/4, 1/2,
+    // 3/4}, so the interpolated value is exactly representable in a double
+    // and both engines' interpolation formulas agree bit-for-bit — no
+    // rendered-double hazard. Spark's percentile is the exact (per-group
+    // sort) agg; at 100 TB the same entry shape swaps in approx_percentile
+    // (one streaming pass, no sort) when +-eps is acceptable.
+    QueryEntry(
+      "q_percentile_exact",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cents"))
+          .groupBy("l_returnflag")
+          .agg(expr("percentile(cents, array(0.25D, 0.5D, 0.75D))").as("q"),
+            count(lit(1)).as("n"))
+          .select(col("l_returnflag"),
+            element_at(col("q"), 1).as("q25"),
+            element_at(col("q"), 2).as("q50"),
+            element_at(col("q"), 3).as("q75"), col("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+          quantile_cont(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.25)
+            AS q25,
+          quantile_cont(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.5)
+            AS q50,
+          quantile_cont(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.75)
+            AS q75,
+          count(*) AS n
+        FROM lineitem GROUP BY 1 ORDER BY 1"""),
+    ),
+    // ---- interval-union coverage (sweep-line via windows) -------------------
+    // Merged-interval length per user: each event opens an interval
+    // [ts, ts + value*1e6 us]; overlaps collapse via the classic sweep —
+    // running max of interval end over PRECEDING rows marks island breaks,
+    // a running sum of breaks numbers the islands, and per-island
+    // max(end)-min(start) sums to covered time. ONE user_id window
+    // exchange feeds both windows and the final rollup — no self-join, no
+    // interval explosion (the naive per-second explode would be 1e6 rows
+    // per event). The uptime / active-time / dedup-span primitive.
+    QueryEntry(
+      "q_interval_coverage",
+      (s, dir) => {
+        val iv = t(s, dir, "events")
+          .select(col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as("s"),
+            (unix_micros(col("ts").cast("timestamp")) +
+              floor(col("value") * lit(1000000d)).cast("long")).as("e"))
+        val w = Window.partitionBy("user_id").orderBy(col("s"), col("e"))
+        val prevMax = max(col("e")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1))
+        val brk = when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L)
+        iv.withColumn("island",
+            sum(brk).over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+          .groupBy(col("user_id"), col("island"))
+          .agg((max(col("e")) - min(col("s"))).as("ilen"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_islands"), sum(col("ilen")).as("covered_us"))
+          .orderBy("user_id")
+      },
+      Some("""WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+              epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS e
+              FROM events),
+            m AS (SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+              FROM iv),
+            fl AS (SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max
+                THEN 1 ELSE 0 END AS brk FROM m),
+            isl AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+                ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+              FROM fl),
+            per AS (SELECT user_id, island, max(e) - min(s) AS ilen
+              FROM isl GROUP BY 1, 2)
+          SELECT user_id, count(*) AS n_islands, sum(ilen) AS covered_us
+          FROM per GROUP BY user_id ORDER BY user_id"""),
+    ),
+    // ---- multi-column COUNT DISTINCT in one aggregate -----------------------
+    // Two count-distincts with different keys + a plain count in ONE
+    // GROUP BY: Catalyst rewrites via Expand (one row replicated per
+    // distinct column set, then two-stage agg) — one shuffle carries all
+    // three, where the naive plan would scan and shuffle once per
+    // distinct. The cardinality-dashboard shape.
+    QueryEntry(
+      "q_multi_distinct",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(col("l_partkey")).as("n_part"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+            count(DISTINCT l_partkey) AS n_part, count(*) AS n
+          FROM lineitem GROUP BY 1 ORDER BY 1"""),
+    ),
+    // ---- survivorship / golden record (max_by / min_by) ---------------------
+    // Entity consolidation: per nation, the surviving representative under
+    // an explicit total order — max_by/min_by over a deterministic BIGINT
+    // priority (cents*1e6 + key; the tie-break is IN the key, because
+    // max_by on a tied priority is visit-order-dependent in BOTH engines).
+    // One partial-agg'd shuffle; the MDM merge primitive.
+    QueryEntry(
+      "q_argmax_survivor",
+      (s, dir) => {
+        val pri = expr("CAST(round(c_acctbal * 100) AS BIGINT)") *
+          lit(1000000L) + col("c_custkey")
+        t(s, dir, "customer")
+          .join(t(s, dir, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(max_by(col("c_name"), pri).as("top_name"),
+            min_by(col("c_name"), pri).as("bottom_name"),
+            count(lit(1)).as("n"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name,
+            arg_max(c_name, CAST(round(c_acctbal*100) AS BIGINT) * 1000000
+              + c_custkey) AS top_name,
+            arg_min(c_name, CAST(round(c_acctbal*100) AS BIGINT) * 1000000
+              + c_custkey) AS bottom_name,
+            count(*) AS n
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1 ORDER BY 1"""),
+    ),
+    // ---- manual salted join (deterministic skew kill) -----------------------
+    // The explicit salting pattern for hot keys: the fact side carries a
+    // deterministic salt (event_id mod 8), the dimension is replicated
+    // once per salt value, and the join key becomes (key, salt) — one hot
+    // key's rows now land on 8 reducers instead of 1. shuffle_hash hint
+    // pins the shuffled plan (a broadcast would hide the salted exchange
+    // at test scale; AQE skew-split is the adaptive twin — SkewJoinSpec).
+    // Result is salt-invariant: the oracle is the plain join.
+    QueryEntry(
+      "q_salted_join",
+      (s, dir) => {
+        val nSalt = 8
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("value"),
+            pmod(col("event_id"), lit(nSalt.toLong)).as("salt"))
+        val dim = t(s, dir, "customer")
+          .select((col("c_custkey") - 1).as("user_id"), col("c_mktsegment"))
+          .withColumn("salt",
+            explode(array((0 until nSalt).map(i => lit(i.toLong)): _*)))
+        ev.join(dim.hint("shuffle_hash"), Seq("user_id", "salt"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(28,6)")).cast("double").as("total"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+            CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+          FROM events JOIN customer ON user_id + 1 = c_custkey
+          GROUP BY 1 ORDER BY 1"""),
+    ),
+    // ---- bag difference (EXCEPT ALL) ----------------------------------------
+    // Multiset semantics the set-op entry can't express: each customer key
+    // survives (orders-per-key - 1) times — the "what's left after
+    // consuming one match each" reconciliation shape. Catalyst plans a
+    // single hash-based count-diff, not a join loop.
+    QueryEntry(
+      "q_except_all",
+      (s, dir) => {
+        t(s, dir, "orders").select(col("o_custkey").as("k"))
+          .exceptAll(t(s, dir, "customer").select(col("c_custkey").as("k")))
+          .orderBy("k")
+      },
+      Some("""SELECT k FROM (
+            SELECT o_custkey AS k FROM orders
+            EXCEPT ALL
+            SELECT c_custkey AS k FROM customer)
+          ORDER BY k"""),
     ),
     // ---- snapshot diff / CDC between two table versions ---------------------
     // see [[snapshotDiff]]: keyed full-outer join, the dataset-versioning

@@ -46,6 +46,14 @@ final case class SegmentWindowCount(window_start: Timestamp, segment: String,
 final case class WindowCount(window_start: Timestamp, event_type: String,
     n: Long, total: Double)
 
+/** One replayed event for the native-session-window entry. */
+final case class SessEvent(ts: Timestamp, user_id: Long, value: Double)
+
+/** Oracle-facing finalized session for the native-session-window entry
+  * (top level for codegen). */
+final case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+    n_events: Long, total_value: Double)
+
 /** One replayed click / view for the stream-stream join entry. */
 final case class ClickEv(cts: Timestamp, c_user: Long, click_id: Long)
 final case class ViewEv(vts: Timestamp, v_user: Long, view_id: Long)
@@ -514,6 +522,90 @@ object StreamQueries {
             max(ts_us) - min(ts_us) AS duration_us
           FROM g GROUP BY user_id, session_id
           ORDER BY user_id, session_id"""),
+    ),
+
+    // ---- NATIVE session windows through the real engine ---------------------
+    // The same 30-min-gap sessions driven by Spark's BUILT-IN
+    // session_window aggregate instead of custom flatMapGroupsWithState
+    // state (the Spark-first preference order: built-in operator before
+    // hand-rolled state). The engine keeps ONE merged session per (user,
+    // gap-run) in the state store, extends/merges as events arrive, and
+    // finalizes when the watermark passes session end. Merge rule
+    // (diff <= gap joins the run) matches the batch lag-rule twin exactly,
+    // so the oracle is the same lag + running-sum SQL aggregated to session
+    // bounds (end = max ts + gap = session_window.end). 5-day replay slices
+    // keep per-micro-batch state commits off the bench; the far-future
+    // sentinel (user -1, dropped by sign) closes every real session.
+    QueryEntry(
+      "q_stream_session_window",
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val rows = Tables.t(s, dir, "events")
+          .select(col("ts").cast("timestamp"), col("user_id"),
+            col("value").cast("double"))
+          .collect()
+          .map(r => SessEvent(r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+        if (rows.isEmpty) {
+          s.createDataset(Seq.empty[SessionOut]).toDF()
+        } else {
+          val sliceMs = 5L * 86400000L
+          val batches = rows.groupBy(e => e.ts.getTime / sliceMs)
+            .toSeq.sortBy(_._1).map(_._2.toSeq)
+          val maxRealTs = rows.map(_.ts.getTime).max
+          val flush = SessEvent(
+            new Timestamp(maxRealTs + 365L * 86400000L), -1L, 0.0)
+
+          val mem = MemoryStream[SessEvent]
+          val sinkName = "q_stream_session_window_sink"
+          s.catalog.dropTempView(sinkName)
+          val agg = mem.toDS()
+            .withWatermark("ts", "1 hour")
+            .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+            .agg(count(lit(1)).as("n_events"),
+              sum(col("value").cast("decimal(28,6)")).as("total_dec"))
+          val q = withStreamParts(s) {
+            agg.select(col("user_id"),
+                unix_micros(col("session_window.start")).as("start_us"),
+                unix_micros(col("session_window.end")).as("end_us"),
+                col("n_events"),
+                col("total_dec").cast("double").as("total_value"))
+              .writeStream.format("memory").queryName(sinkName)
+              .option("checkpointLocation", checkpointDir())
+              .outputMode("append").start()
+          }
+          val out =
+            try {
+              batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+              mem.addData(Seq(flush))
+              q.processAllAvailable()
+              s.table(sinkName).collect().map(r => SessionOut(
+                r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                r.getDouble(4)))
+            } finally {
+              q.stop()
+              s.catalog.dropTempView(sinkName)
+            }
+          s.createDataset(out.toSeq.filter(_.user_id >= 0)).toDF()
+            .orderBy("user_id", "start_us")
+        }
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+              value FROM events),
+            f AS (SELECT *,
+              CASE WHEN lag(ts_us) OVER w IS NULL
+                     OR ts_us - lag(ts_us) OVER w > 1800000000
+                   THEN 1 ELSE 0 END AS new_session
+              FROM e WINDOW w AS (PARTITION BY user_id
+                ORDER BY ts_us, event_id)),
+            g AS (SELECT *,
+              CAST(sum(new_session) OVER (PARTITION BY user_id
+                ORDER BY ts_us, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM f)
+          SELECT user_id, min(ts_us) AS start_us,
+            max(ts_us) + 1800000000 AS end_us, count(*) AS n_events,
+            CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+          FROM g GROUP BY user_id, sid ORDER BY user_id, start_us"""),
     ),
   )
 }
