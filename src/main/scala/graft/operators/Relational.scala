@@ -1238,6 +1238,32 @@ object Relational {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         WHERE o_orderkey % 10 < 8 ORDER BY o_orderkey"""),
     ),
+    // ---- named ref (tag) read through the driver gate ------------------------
+    // The release-pinning pattern: tag v1 "release", keep committing, sweep
+    // history with expireSnapshots(keepLast=1) — the tag MUST keep its
+    // snapshot's manifest and data dirs alive (the entry would lose its
+    // rows otherwise), and the read-as-of-ref returns v1 exactly. Refs are
+    // O(1) metadata (one pointer file via the commit lock); the oracle
+    // hashes the tagged version, not the head.
+    QueryEntry(
+      "q_ref_read",
+      (s, dir) => {
+        val root = graft.BenchDirs.scratchDir("glacier-ref")
+        val g = new graft.tables.Glacier(root)
+        val base = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        g.commit(s, Seq(g.TableWrite("orders_r",
+          base.filter(col("o_orderkey") % 4 === 1), g.Replace)))
+        g.setRef("release")
+        g.commit(s, Seq(g.TableWrite("orders_r", base, g.Replace)))
+        g.commit(s, Seq(g.TableWrite("orders_r",
+          base.filter(col("o_orderkey") % 2 === 0), g.Replace)))
+        g.expireSnapshots(keepLast = 1) // the tag must protect snap 1
+        g.readRef(s, "orders_r", "release").get.orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 4 = 1 ORDER BY o_orderkey"""),
+    ),
     // ---- incremental snapshot consumption (append-table CDC) ---------------
     // Two Append commits, then readChanges(v1→v2) — the incremental-ETL /
     // streaming-table read: the delta is a manifest file-LIST difference,

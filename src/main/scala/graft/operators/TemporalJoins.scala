@@ -340,5 +340,57 @@ object TemporalJoins {
               AS row_ppm
           FROM c ORDER BY prev, cur"""),
     ),
+    // ---- typed per-group kernel (KeyValueGroupedDataset.mapGroups) ----------
+    // Max-subarray (Kadane) over each user's time-ordered centered-cents
+    // sequence — a genuinely imperative per-group kernel through the TYPED
+    // Dataset API: groupByKey(user).mapGroups sorts the group in memory
+    // and scans once. ONE shuffle on user_id; per-group memory = that
+    // group's events (bounded here; the 100 TB variant is secondary sort:
+    // repartition(user) + sortWithinPartitions + one mapPartitions scan,
+    // same single shuffle). The ORACLE is the closed-form prefix identity
+    // — max over t of (prefix(t) − min(0, prefix(<t))) — so the imperative
+    // kernel and the declarative window formulation must agree exactly
+    // (integer cents, no float drift). The burst-detection / drawdown /
+    // hottest-window primitive.
+    QueryEntry(
+      "q_max_subarray",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .select(col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+            col("event_id"),
+            (expr("CAST(round(value * 100) AS BIGINT)") - lit(5000L))
+              .as("cents"))
+          .as[(Long, Long, Long, Long)]
+          .groupByKey(_._1)
+          .mapGroups { (uid, it) =>
+            val xs = it.toArray.sortBy(e => (e._2, e._3)).map(_._4)
+            var best = Long.MinValue
+            var cur = 0L
+            xs.foreach { v =>
+              cur = math.max(v, cur + v)
+              best = math.max(best, cur)
+            }
+            (uid, best, xs.length.toLong)
+          }
+          .toDF("user_id", "max_window_cents", "n_events")
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+              CAST(round(value * 100) AS BIGINT) - 5000 AS cents FROM events),
+            p AS (SELECT user_id, ts_us, event_id, sum(cents) OVER w AS pfx
+              FROM e WINDOW w AS (PARTITION BY user_id
+                ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)),
+            b AS (SELECT user_id,
+              pfx - LEAST(CAST(0 AS BIGINT),
+                coalesce(min(pfx) OVER (PARTITION BY user_id
+                  ORDER BY ts_us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+                AS cand
+              FROM p)
+          SELECT user_id, max(cand) AS max_window_cents, count(*) AS n_events
+          FROM b GROUP BY user_id ORDER BY user_id"""),
+    ),
   )
 }

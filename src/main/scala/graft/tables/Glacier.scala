@@ -650,7 +650,8 @@ final class Glacier(val root: String) {
       s.iterator().asScala.map(_.getFileName.toString)
         .collect { case SnapJsonRe(id) => id.toLong }.toList.sorted
     }
-    val retained = history.map(_.snapshotId).takeRight(keepLast).toSet
+    val retained =
+      (history.map(_.snapshotId).takeRight(keepLast) ++ refs.values).toSet
     val expired = all.filterNot(retained)
     val referencedDirs: Set[String] = retained.flatMap(id =>
       manifestOpt(id).toSeq.flatMap(_.tables.values.flatMap(_.files))) ++
@@ -760,6 +761,63 @@ final class Glacier(val root: String) {
     val delta = to.drop(from.size)
     if (delta.isEmpty) None else Some(spark.read.parquet(delta: _*))
   }
+
+  // ---- named refs (tags) ----------------------------------------------------
+
+  /** Create or move a named ref (Iceberg-style tag/branch head) pointing
+    * at `snapshotId` (default: the current head). Ref'd snapshots survive
+    * [[expireSnapshots]] — manifest AND data dirs are retained even when
+    * they fall off the keepLast window or (after a rollback) off the
+    * current lineage entirely — so "release" tags keep old corpus versions
+    * readable while unreferenced history is swept. Ref mutations take the
+    * same commit lock as CURRENT (cross-process safe) and land via
+    * tmp + ATOMIC_MOVE. */
+  def setRef(name: String, snapshotId: Option[Long] = None): Long = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid ref name '$name'")
+    withCommitLock {
+      val id = snapshotId.orElse(currentSnapshotId).getOrElse(
+        throw new IllegalArgumentException("empty catalog: nothing to tag"))
+      require(manifestOpt(id).isDefined,
+        s"snap-$id does not exist (never committed, or already expired)")
+      val tmp = metaDir.resolve(s"ref-$name.tmp")
+      Files.writeString(tmp, id.toString)
+      Files.move(tmp, metaDir.resolve(s"ref-$name"),
+                 StandardCopyOption.ATOMIC_MOVE,
+                 StandardCopyOption.REPLACE_EXISTING)
+      id
+    }
+  }
+
+  /** The snapshot a ref points at, if the ref exists. */
+  def refSnapshot(name: String): Option[Long] = {
+    val p = metaDir.resolve(s"ref-$name")
+    if (Files.exists(p)) scala.util.Try(Files.readString(p).trim.toLong).toOption
+    else None
+  }
+
+  /** All refs (name → snapshot id). */
+  def refs: Map[String, Long] = {
+    if (!Files.isDirectory(metaDir)) return Map.empty
+    scala.util.Using.resource(Files.list(metaDir)) { s =>
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("ref-") && !n.endsWith(".tmp"))
+        .flatMap(n => refSnapshot(n.stripPrefix("ref-"))
+          .map(n.stripPrefix("ref-") -> _))
+        .toMap
+    }
+  }
+
+  /** Drop a ref; its snapshot becomes expirable again (if otherwise
+    * unretained). */
+  def dropRef(name: String): Unit = withCommitLock {
+    Files.deleteIfExists(metaDir.resolve(s"ref-$name"))
+  }
+
+  /** Read a table as of a named ref — `read(...)` at the ref's pinned
+    * snapshot. */
+  def readRef(spark: SparkSession, table: String,
+              ref: String): Option[DataFrame] =
+    refSnapshot(ref).flatMap(id => read(spark, table, Some(id)))
 
   // ---- write-audit-publish (WAP) -------------------------------------------
 

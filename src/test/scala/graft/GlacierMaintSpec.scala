@@ -112,6 +112,37 @@ class GlacierMaintSpec extends AnyFunSuite {
     assert(g.removeOrphans(graceMs = 0L) === Nil) // aborts already swept
   }
 
+  test("named refs: tag survives expiry, read-as-of-ref, drop frees it") {
+    val g = new Glacier(tmpRoot())
+    g.commit(spark, Seq(g.TableWrite("t", spark.range(10).toDF("id"), g.Replace)))
+    val rel = g.setRef("release-1") // tags the current head (snap 1)
+    assert(rel === 1L)
+    g.commit(spark, Seq(g.TableWrite("t", spark.range(50).toDF("id"), g.Replace)))
+    g.commit(spark, Seq(g.TableWrite("t", spark.range(70).toDF("id"), g.Replace)))
+    assert(g.refs === Map("release-1" -> 1L))
+    assert(g.readRef(spark, "t", "release-1").get.count() === 10L)
+
+    // expiry keeps the ref'd snapshot even though keepLast=1 would sweep it
+    val expired = g.expireSnapshots(keepLast = 1)
+    assert(!expired.contains(1L) && expired.contains(2L))
+    assert(g.readRef(spark, "t", "release-1").get.count() === 10L)
+    assert(g.read(spark, "t").get.count() === 70L)
+
+    // invalid names / missing snapshots refused; moving a ref is allowed
+    intercept[IllegalArgumentException](g.setRef("bad/../name"))
+    intercept[IllegalArgumentException](g.setRef("ghost", Some(99L)))
+    g.setRef("release-1", Some(3L))
+    assert(g.readRef(spark, "t", "release-1").get.count() === 70L)
+
+    // drop: snapshot 1 becomes expirable; its manifest goes on next expiry
+    g.setRef("tmp", Some(1L))
+    g.dropRef("tmp")
+    assert(g.refSnapshot("tmp").isEmpty)
+    val expired2 = g.expireSnapshots(keepLast = 1)
+    assert(expired2.contains(1L))
+    assert(g.read(spark, "t", Some(1L)).isEmpty) // gone for real
+  }
+
   test("readChanges returns exactly the appended delta, manifest-only") {
     val g = new Glacier(tmpRoot())
     val a = spark.range(10).toDF("id")
