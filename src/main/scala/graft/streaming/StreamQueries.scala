@@ -255,12 +255,17 @@ object StreamQueries {
         if (rows.isEmpty) {
           s.createDataset(Seq.empty[SegmentWindowCount]).toDF()
         } else {
-          val weekMs = 7L * 86400000L
-          val batches = rows.groupBy(e => e.ts.getTime / weekMs)
+          // 4-week batches (stream-stream precedent above): the static
+          // side is re-broadcast and the join re-planned EVERY micro-batch,
+          // so batch count — not row count — dominates this replay; the
+          // window aggregate is event-time-keyed and the flush sentinel
+          // closes every window, so the emitted set is batching-invariant
+          val sliceMs = 28L * 86400000L
+          val batches = rows.groupBy(e => e.ts.getTime / sliceMs)
             .toSeq.sortBy(_._1).map(_._2.toSeq)
           val maxRealTs = rows.map(_.ts.getTime).max
           val flush = EnrichEvent(
-            new Timestamp(maxRealTs + 52L * weekMs), -1L, 0.0)
+            new Timestamp(maxRealTs + 52L * sliceMs), -1L, 0.0)
           val dim = Tables.t(s, dir, "customer")
             .select(col("c_custkey"), col("c_mktsegment"))
 
