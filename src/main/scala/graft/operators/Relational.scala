@@ -906,7 +906,8 @@ object Relational {
               FROM fl),
             per AS (SELECT user_id, island, max(e) - min(s) AS ilen
               FROM isl GROUP BY 1, 2)
-          SELECT user_id, count(*) AS n_islands, sum(ilen) AS covered_us
+          SELECT user_id, count(*) AS n_islands,
+            CAST(sum(ilen) AS BIGINT) AS covered_us
           FROM per GROUP BY user_id ORDER BY user_id"""),
     ),
     // ---- multi-column COUNT DISTINCT in one aggregate -----------------------

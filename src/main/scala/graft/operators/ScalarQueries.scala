@@ -452,25 +452,30 @@ object ScalarQueries {
     // The all-matches twin of the single-capture extracts used throughout
     // (DOI, md5, mdp fields): every ≥7-letter word per document, plus the
     // sorted-distinct form — the shape of vocabulary/entity mining over a
-    // corpus. Both engines run greedy leftmost matching, and the array
-    // normalizer in the compare handles list columns; empty-match docs
-    // emit [] on both sides. Per-row codegen'd, no shuffle.
+    // corpus. Both engines run greedy leftmost matching. The arrays are
+    // emitted as scalar md5 digests of their space-joined form (the
+    // q_array_set_ops house style): the driver's pandas comparator cannot
+    // sort raw array cells. Per-row codegen'd, no shuffle.
     QueryEntry(
       "q_regex_extract_all",
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"),
-          regexp_extract_all(col("text"), lit("[a-z]{7,}"), lit(0))
-            .as("long_words"),
-          array_sort(array_distinct(
+          md5(concat_ws(" ",
             regexp_extract_all(col("text"), lit("[a-z]{7,}"), lit(0))))
-            .as("distinct_words"),
+            .as("long_words_md5"),
+          md5(concat_ws(" ", array_sort(array_distinct(
+            regexp_extract_all(col("text"), lit("[a-z]{7,}"), lit(0))))))
+            .as("distinct_words_md5"),
           size(regexp_extract_all(col("text"), lit("[a-z]{7,}"), lit(0)))
             .cast("long").as("n_matches"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
-          regexp_extract_all(text, '[a-z]{7,}') AS long_words,
-          list_sort(list_distinct(regexp_extract_all(text, '[a-z]{7,}')))
-            AS distinct_words,
+          md5(coalesce(
+            array_to_string(regexp_extract_all(text, '[a-z]{7,}'), ' '),
+            '')) AS long_words_md5,
+          md5(coalesce(array_to_string(
+            list_sort(list_distinct(regexp_extract_all(text, '[a-z]{7,}'))),
+            ' '), '')) AS distinct_words_md5,
           CAST(len(regexp_extract_all(text, '[a-z]{7,}')) AS BIGINT)
             AS n_matches
         FROM documents ORDER BY doc_id"""),

@@ -297,6 +297,10 @@ object SimilarityOps {
     // IVF coarse codebook, reused verbatim by q_ann_ivf's probe stage)
     QueryEntry(
       "q_embedding_centroids",
+      // The centroid vector is emitted exploded to one (label, pos, value)
+      // row per component: the driver's pandas comparator cannot sort raw
+      // array cells. The norm stays a fixed-order array fold over the
+      // internal centroid array so the double is bit-identical either way.
       (s, dir) => {
         val e = t(s, dir, "embeddings").select(col("label"),
           transform(col("embedding"), _.cast("double")).as("v"))
@@ -304,7 +308,12 @@ object SimilarityOps {
           .withColumn("norm",
             sqrt(aggregate(transform(col("centroid"), x => x * x),
               lit(0.0), _ + _)))
-          .orderBy("label")
+          .select(col("label"), col("n_vectors"), col("norm"),
+            posexplode(col("centroid")).as(Seq("pos", "centroid_val")))
+          .select(col("label"), col("n_vectors"),
+            col("pos").cast("long").as("pos"), col("centroid_val"),
+            col("norm"))
+          .orderBy("label", "pos")
       },
       Some("""WITH e AS (SELECT label,
               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -318,10 +327,15 @@ object SimilarityOps {
                  FROM flat GROUP BY label, pos),
           cent AS (SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
                           list(m ORDER BY pos) AS centroid
-                   FROM cm GROUP BY label)
-          SELECT label, n_vectors, centroid,
-            sqrt(list_aggregate(list_transform(centroid, x -> x*x), 'sum')) AS norm
-          FROM cent ORDER BY label"""),
+                   FROM cm GROUP BY label),
+          withn AS (SELECT label, n_vectors, centroid,
+            sqrt(list_aggregate(list_transform(centroid, x -> x*x), 'sum'))
+              AS norm
+          FROM cent)
+          SELECT label, n_vectors,
+            CAST(generate_subscripts(centroid, 1) - 1 AS BIGINT) AS pos,
+            unnest(centroid) AS centroid_val, norm
+          FROM withn ORDER BY label, pos"""),
     ),
     // scale-safe near-dup: random-hyperplane LSH bucketing, no self-join
     QueryEntry(

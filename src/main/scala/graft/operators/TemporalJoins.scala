@@ -389,7 +389,8 @@ object TemporalJoins {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
                 AS cand
               FROM p)
-          SELECT user_id, max(cand) AS max_window_cents, count(*) AS n_events
+          SELECT user_id, CAST(max(cand) AS BIGINT) AS max_window_cents,
+            count(*) AS n_events
           FROM b GROUP BY user_id ORDER BY user_id"""),
     ),
   )

@@ -854,17 +854,28 @@ object TextAnalysis {
                  CAST(df AS BIGINT) AS df, salience
           FROM r WHERE rn <= 3 ORDER BY doc_id, salience DESC, term"""),
     ),
-    // ---- capped inverted index (postings k=5) — see [[invertedIndex]]
+    // ---- capped inverted index (postings k=5) — see [[invertedIndex]].
+    // The postings list is emitted as a scalar md5 digest of its
+    // space-joined form plus its length (q_array_set_ops house style):
+    // the driver's pandas comparator cannot sort raw array cells.
     QueryEntry(
       "q_inverted_index",
-      (s, dir) => invertedIndex(t(s, dir, "documents"), 5).orderBy("term"),
+      (s, dir) => invertedIndex(t(s, dir, "documents"), 5)
+        .select(col("term"), col("df"),
+          md5(concat_ws(" ", col("postings").cast("array<string>")))
+            .as("postings_md5"),
+          size(col("postings")).cast("long").as("n_postings"))
+        .orderBy("term"),
       Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
             FROM documents),
           tf AS (SELECT DISTINCT doc_id, term FROM tok WHERE len(term) > 0),
           df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
           p AS (SELECT term, list(doc_id ORDER BY doc_id)[1:5] AS postings
                 FROM tf GROUP BY 1)
-          SELECT term, df, postings FROM df JOIN p USING (term)
+          SELECT term, df,
+            md5(array_to_string(postings, ' ')) AS postings_md5,
+            CAST(len(postings) AS BIGINT) AS n_postings
+          FROM df JOIN p USING (term)
           ORDER BY term"""),
     ),
     // ---- token-budget sequence packing (budget 2048, shard 1000) — batch
@@ -916,10 +927,19 @@ object TextAnalysis {
           FROM w GROUP BY doc_id ORDER BY doc_id"""),
     ),
     // ---- vocabulary dictionary encoding (token ids by corpus rank) --------
-    // see [[vocabEncode]]; vocab capped at 64 so OOV (id 0) is exercised
+    // see [[vocabEncode]]; vocab capped at 64 so OOV (id 0) is exercised.
+    // The token-id sequence is emitted as a scalar md5 digest of its
+    // space-joined form plus its length (q_array_set_ops house style):
+    // the driver's pandas comparator cannot sort raw array cells.
     QueryEntry(
       "q_vocab_encode",
-      (s, dir) => vocabEncode(t(s, dir, "documents"), 64).orderBy("doc_id"),
+      (s, dir) => vocabEncode(t(s, dir, "documents"), 64)
+        .select(col("doc_id"),
+          md5(concat_ws(" ", col("token_ids").cast("array<string>")))
+            .as("token_ids_md5"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          col("n_oov"))
+        .orderBy("doc_id"),
       Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
             FROM documents),
           st AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos FROM d),
@@ -932,7 +952,9 @@ object TextAnalysis {
           enc AS (SELECT doc_id,
                     list(coalesce(token_id, 0) ORDER BY pos) AS token_ids
                   FROM tok LEFT JOIN dict USING (term) GROUP BY doc_id)
-          SELECT doc_id, token_ids,
+          SELECT doc_id,
+            md5(array_to_string(token_ids, ' ')) AS token_ids_md5,
+            CAST(len(token_ids) AS BIGINT) AS n_tokens,
             CAST(len(list_filter(token_ids, x -> x = 0)) AS INT) AS n_oov
           FROM enc ORDER BY doc_id"""),
     ),

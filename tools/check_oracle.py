@@ -19,21 +19,37 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
-    # list/array columns (numpy arrays from parquet, python lists from
-    # DuckDB) -> plain tuples so tuple equality and sorting work
-    if hasattr(v, "tolist") and not isinstance(v, (str, bytes)):
-        return tuple(norm(x) for x in v.tolist())
-    if isinstance(v, (list, tuple)):
-        return tuple(norm(x) for x in v)
-    return v
+def shape_lint(name, df, side):
+    """Driver-faithful shape check: the driver's pandas comparator calls
+    sort_values over every column and cannot factorize array/struct/map
+    cells (TypeError: unhashable type 'numpy.ndarray'). Reject any
+    non-scalar top-level column up front so the class of r5 red rows
+    (raw array outputs) fails locally."""
+    bad = []
+    for c in df.columns:
+        col = df[c].dropna()
+        if len(col) and any(
+                isinstance(v, (list, tuple, dict)) or
+                (hasattr(v, "tolist") and not isinstance(v, (str, bytes))
+                 and getattr(v, "ndim", 0) >= 1)
+                for v in col.head(20)):
+            bad.append(c)
+    if bad:
+        print(f"FAIL {name}: non-scalar {side} column(s) {bad} — the "
+              f"driver comparator throws on array/struct/map cells")
+        return False
+    return True
 
 
 def rows_of(df):
     cols = sorted(df.columns)
     df = df[cols]
-    recs = [tuple(norm(v) for v in r) for r in df.itertuples(index=False)]
-    return cols, sorted(recs, key=lambda r: tuple(str(x) for x in r))
+    # driver-faithful: sort the raw pandas frame over all columns (the
+    # driver does sort_values; ndarray cells would throw there, and the
+    # shape lint above rejects them before we get here)
+    df = df.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    recs = [tuple(r) for r in df.itertuples(index=False)]
+    return cols, recs
 
 
 def eq(a, b):
@@ -71,9 +87,24 @@ def main():
             continue
         try:
             got = con.sql(f"SELECT * FROM '{pdir}/*.parquet'").df()
-            want = con.sql(sql).df()
+            rel = con.sql(sql)
+            # lint: DuckDB result types that hash differently from Spark's
+            # (HUGEINT from widened sums, DECIMAL) broke r4/r5 rows — fail
+            # them here instead of at the driver
+            widened = [f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
+                       if str(t) == "HUGEINT" or str(t).startswith("DECIMAL")]
+            if widened:
+                print(f"FAIL {name}: oracle column type(s) {widened} — "
+                      f"CAST to BIGINT/DOUBLE so the driver hash matches")
+                n_fail += 1
+                continue
+            want = rel.df()
         except Exception as e:
             print(f"FAIL {name}: {str(e).splitlines()[0][:200]}")
+            n_fail += 1
+            continue
+        if not (shape_lint(name, got, "spark") and
+                shape_lint(name, want, "oracle")):
             n_fail += 1
             continue
         gc, gr = rows_of(got)
