@@ -19,6 +19,26 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scale-adaptive scan fan-out for compute-heavy per-row pipelines.
+    *
+    * The sf parquet tables are single-row-group files, so their scans plan
+    * as ONE task and everything upstream of the first shuffle (shingling,
+    * per-row hashing, explodes, map-side partial aggregation) runs on one
+    * core of the whole machine. When — and only when — the scan's planned
+    * partition count is below the session's default parallelism, pay one
+    * tiny round-robin exchange of the base rows to unlock every core. At
+    * production scale the input has thousands of splits, the condition
+    * never fires, and NO repartition of the corpus is ever added — this is
+    * the guide's "fix input skew right after the read" rule bounded to the
+    * case where the input is the bottleneck. (Deterministic under retries:
+    * round-robin repartition local-sorts its input first —
+    * spark.sql.execution.sortBeforeRepartition, default on.)
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** 32-bit md5 prefix as an exact long — THE engine-portable checksum /
     * draw primitive (DuckDB mirror:
     * `CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)`;

@@ -71,9 +71,18 @@ object DedupOps {
 
   /** 16-bit SimHash from the per-word md5 hex digits: bit i is set iff the
     * count of words whose i-th hex digit has its high bit set exceeds the
-    * count of those that don't.
+    * count of those that don't. Native one-pass kernel
+    * ([[graft.functions.Simhash16]]: one md5 per word, all 16 counters in
+    * one traversal) — bit-identical to [[simhash16Hof]], the 16-pass HOF
+    * chain it replaced (each of whose bit expressions re-evaluated the
+    * md5 transform); pinned by the golden spec.
     */
-  def simhash16(text: Column): Column = {
+  def simhash16(text: Column): Column =
+    graft.functions.VectorKernels.simhash16Col(text)
+
+  /** The composable-column twin of [[simhash16]], kept as the golden-test
+    * reference for the native kernel. */
+  def simhash16Hof(text: Column): Column = {
     val hashes = transform(split(text, " "), w => md5(w))
     val bits = (1 to 16).map { i =>
       val s = aggregate(hashes, lit(0),
@@ -119,7 +128,13 @@ object DedupOps {
     */
   def bandedSignatures(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val sh = shingles(col(textCol))
-    val withSig = docs.filter(size(sh) > 0)
+    // fan the single-split scan out over every core before the per-row
+    // signature kernel, and gate on the cheap word count (equivalent to
+    // size(shingles) > 0, but does not build the shingle array a second
+    // time in the filter operator — filter and project cannot share
+    // subexpressions across the operator boundary)
+    val withSig = Tables.fanOut(docs)
+      .filter(size(split(col(textCol), " ")) >= ShingleSize)
       .select(col(idCol).as("doc"),
         minhashSigArray(docs.sparkSession, sh).as("sig"))
     val bands = (0 until NumHashes / BandRows).map { b =>
@@ -173,7 +188,8 @@ object DedupOps {
     require(nBlocks >= 2 && nBlocks <= 16,
       s"simhashHammingPairs: maxHamming=$maxHamming needs $nBlocks blocks" +
         " over a 16-bit sketch (1 <= maxHamming <= 15)")
-    val sk = docs.select(col("doc_id"), simhash16(col("text")).as("sh"))
+    val sk = Tables.fanOut(docs)
+      .select(col("doc_id"), simhash16(col("text")).as("sh"))
     val halves = (0 until nBlocks).map { j =>
       val start = j * 16 / nBlocks
       val width = (j + 1) * 16 / nBlocks - start
@@ -212,14 +228,20 @@ object DedupOps {
     * [[minhashCandidatePairs]] + shingle join-back: never all-pairs.
     */
   def containmentOnCandidates(docs: DataFrame, threshold: Double): DataFrame = {
+    // the candidate list is the tiny side (LSH-bounded) — broadcast it (and
+    // the pair+sh_a intermediate) so the heavy shingle frame is never
+    // shuffled, and pin the shingle frame so its per-doc array_distinct
+    // pass runs once, not once per join side
     val pairs = minhashCandidatePairs(docs, "text", "doc_id")
-    val d = docs
+    val d = Tables.fanOut(docs)
       .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    pairs
-      .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    val withA = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .join(broadcast(pairs), "doc_a")
+    d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      .join(broadcast(withA), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (inter.cast("double") / size(col("sh_a")).cast("double"))
           .as("contain_a_in_b"),
@@ -240,11 +262,15 @@ object DedupOps {
     * and broadcasts onto the docs scan.
     */
   def editDistanceOnCandidates(docs: DataFrame): DataFrame = {
+    // candidate list broadcasts onto the docs scan (the documented 100 TB
+    // shape) — without the hint the planner shuffles the full text table
+    // twice for the two join-backs
     val pairs = minhashCandidatePairs(docs, "text", "doc_id")
-    val d = docs.select(col("doc_id"), col("text"))
-    pairs
-      .join(d.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
-      .join(d.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+    val d = Tables.fanOut(docs).select(col("doc_id"), col("text"))
+    val withA = d.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+      .join(broadcast(pairs), "doc_a")
+    d.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+      .join(broadcast(withA), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"),
         length(col("text_a")).cast("long").as("len_a"),
@@ -273,13 +299,18 @@ object DedupOps {
       .join(ob.select(col("doc").as("dup_of"), col("band_idx"), col("band_hash")),
         Seq("band_idx", "band_hash"))
       .select(col("new_doc"), col("dup_of")).distinct()
-    val d = docs.select(col("doc_id"),
+    // candidate list broadcasts onto the pinned shingle frame (the same
+    // join-back shape as q_jaccard_lsh — no shuffle of the arrays, one
+    // array_distinct pass)
+    val d = Tables.fanOut(docs).select(col("doc_id"),
         array_distinct(shingles(col("text"))).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    cand
-      .join(d.select(col("doc_id").as("new_doc"), col("sh").as("sh_a")), "new_doc")
-      .join(d.select(col("doc_id").as("dup_of"), col("sh").as("sh_b")), "dup_of")
+    val withA = d.select(col("doc_id").as("new_doc"), col("sh").as("sh_a"))
+      .join(broadcast(cand), "new_doc")
+    d.select(col("doc_id").as("dup_of"), col("sh").as("sh_b"))
+      .join(broadcast(withA), "dup_of")
       .select(col("new_doc"), col("dup_of"),
         (inter.cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double"))
@@ -472,11 +503,14 @@ object DedupOps {
     QueryEntry(
       "q_ngram_jaccard",
       (s, dir) => {
+        // pinned: the guard's block-size probe, then BOTH self-join sides,
+        // read this frame — without the persist the shingle build runs 3×
         val d = requireBoundedBlocks(
-          t(s, dir, "documents")
+          Tables.fanOut(t(s, dir, "documents"))
             .select(col("doc_id"), col("lang"), col("source"),
                     array_distinct(shingles(col("text"))).as("sh"))
-            .filter(size(col("sh")) > 0),
+            .filter(size(col("sh")) > 0)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
           Seq("lang", "source"), "q_ngram_jaccard", "q_jaccard_lsh")
         val a = d.as("a")
         val b = d.as("b")
@@ -516,14 +550,19 @@ object DedupOps {
       "q_jaccard_lsh",
       (s, dir) => {
         val docs = t(s, dir, "documents")
+        // broadcast the LSH-bounded pair list (and the pair+sh_a
+        // intermediate) onto the pinned shingle frame: zero shuffles of
+        // the shingle arrays, one array_distinct pass instead of two
         val pairs = minhashCandidatePairs(docs, "text", "doc_id")
-        val d = docs
+        val d = Tables.fanOut(docs)
           .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
           .filter(size(col("sh")) > 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-        pairs
-          .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-          .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        val withA = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+          .join(broadcast(pairs), "doc_a")
+        d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+          .join(broadcast(withA), "doc_b")
           .select(col("doc_a"), col("doc_b"),
             (inter.cast("double") /
               (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double"))
@@ -750,7 +789,7 @@ object DedupOps {
     QueryEntry(
       "q_approx_distinct",
       (s, dir) => hllSketch(
-        t(s, dir, "documents")
+        Tables.fanOut(t(s, dir, "documents"))
           .select(explode(shingles(col("text"))).as("t"))),
       Some {
         val sh = sqlShingles("text")
@@ -800,16 +839,23 @@ object DedupOps {
     QueryEntry(
       "q_sketch_merge",
       (s, dir) => {
-        val toks = t(s, dir, "documents")
+        val toks = Tables.fanOut(t(s, dir, "documents"))
           .select(col("source"), explode(shingles(col("text"))).as("t"))
         val (b, rank) = hllBucketRank
-        val perSrc = toks.select(col("source"), b.as("b"), rank.as("r"))
-          .groupBy("source", "b").agg(max(col("r")).as("m"))
+        // ONE pass tokenizes+hashes the corpus into (source, b, r) rows;
+        // the per-source registers, the merged registers and the direct
+        // registers all aggregate from it (the direct build previously
+        // re-scanned the corpus — a second full shingle+md5+regex pass).
+        // The merge-vs-direct comparison stays non-vacuous: the two
+        // estimates still come from different aggregation paths over the
+        // same hashed-token stream.
+        val tv = toks.select(col("source"), b.as("b"), rank.as("r"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val perSrc = tv.groupBy("source", "b").agg(max(col("r")).as("m"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val merged = hllFold(perSrc.groupBy("b").agg(max(col("m")).as("m")))
           .select(hllEstimate.as("merged_estimate"))
-        val direct = hllFold(toks.select(b.as("b"), rank.as("r"))
-            .groupBy("b").agg(max(col("r")).as("m")))
+        val direct = hllFold(tv.groupBy("b").agg(max(col("r")).as("m")))
           .select(hllEstimate.as("direct_estimate"))
         perSrc.agg(countDistinct(col("source")).as("n_sources"))
           .crossJoin(broadcast(merged))
@@ -951,7 +997,8 @@ object DedupOps {
     // 128-bit collisions sit far below storage-corruption rates.
     QueryEntry(
       "q_paragraph_dedup",
-      (s, dir) => paragraphDedup(t(s, dir, "documents")).orderBy("doc_id"),
+      (s, dir) => paragraphDedup(Tables.fanOut(t(s, dir, "documents")))
+        .orderBy("doc_id"),
       Some(s"""WITH c AS (
           SELECT doc_id, CAST(i AS INT) AS idx,
                  array_to_string(string_split(text,' ')[i*$ParagraphWords+1 : i*$ParagraphWords+$ParagraphWords], ' ') AS chunk
@@ -974,9 +1021,10 @@ object DedupOps {
     QueryEntry(
       "q_fuzzy_id_pairs",
       (s, dir) => {
-        val f = t(s, dir, "customer")
+        val f = Tables.fanOut(t(s, dir, "customer"))
           .select(col("c_name").as("nm"),
             substring(col("c_name"), 1, 16).as("blk"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val g = requireBoundedBlocks(f, Seq("blk"), "q_fuzzy_id_pairs",
           "q_minhash_pairs")
         val a = g.select(col("nm").as("wa"), col("blk"))
@@ -998,7 +1046,8 @@ object DedupOps {
     // 12-token windows; only hashes shuffle, never text
     QueryEntry(
       "q_dup_spans",
-      (s, dir) => duplicatedSpans(t(s, dir, "documents"), 12, 2L)
+      (s, dir) => duplicatedSpans(Tables.fanOut(t(s, dir, "documents")),
+          12, 2L)
         .orderBy("span_hash"),
       Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
             FROM documents),
@@ -1159,14 +1208,19 @@ object DedupOps {
 
   /** Edge count at or below which the contraction finishes driver-local.
     * Rationale (r4 quiet-window probe): each distributed star round costs
-    * ~2 s of fixed job latency regardless of data volume — on a tail of a
-    * few thousand edges that overhead dwarfs the work. ≤10⁵ edges is a
-    * bounded driver transfer (a few MB) and one in-memory union-find pass.
-    * Deciding costs one count() on entry (over checkpointed blocks) and
-    * NOTHING mid-loop — there the count rides the fixed-point signature
-    * the loop computes anyway. At 100 TB the big early rounds stay fully
-    * distributed; only the logarithmic tail collapses. */
-  val LocalFinishEdges: Long = 100000L
+    * ~2 s of fixed job latency regardless of data volume — and under a
+    * loaded box that per-job latency multiplies (the r4/r5 driver benches
+    * sampled the loop at 29 s and 155 s where quiet-window probes sit at
+    * 4-5 s: the loop's ~3 sequential barriers per round are pure
+    * latency-amplification surface). ≤2·10⁶ edges is still a bounded
+    * driver transfer (two longs per edge ≈ 32 MB, far under the 1 GB
+    * driver-result cap) and one in-memory union-find pass measured in
+    * tens of milliseconds. Deciding costs one count() on entry (over
+    * checkpointed blocks) and NOTHING mid-loop — there the count rides
+    * the fixed-point signature the loop computes anyway. At 100 TB the
+    * big early rounds stay fully distributed; only the (now larger)
+    * logarithmic tail collapses. */
+  val LocalFinishEdges: Long = 2000000L
 
   def connectedComponentsCanonical(edges: DataFrame,
       localFinishEdges: Long = LocalFinishEdges): (DataFrame, Int) = {
@@ -1263,13 +1317,13 @@ object DedupOps {
   private def computeClusters(s: org.apache.spark.sql.SparkSession,
                               dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    // cached: the star contraction re-reads the edge set every iteration
     // pairs are distinct with doc_a < doc_b — already canonical edges
-    // (src = the larger id) for the star contraction
+    // (src = the larger id) for the star contraction, which materializes
+    // them ONCE via its own eager localCheckpoint (a persist here would
+    // just write the same rows to the block store a second time)
     val pairs = minhashCandidatePairs(docs, "text", "doc_id")
-      .select(col("doc_b").as("src"), col("doc_a").as("dst")).persist()
+      .select(col("doc_b").as("src"), col("doc_a").as("dst"))
     val (stars, _) = connectedComponentsCanonical(pairs)
-    pairs.unpersist(blocking = false)
     docs.select(col("doc_id"))
       .join(stars.select(col("src").as("doc_id"), col("dst").as("__c")),
         Seq("doc_id"), "left")

@@ -46,7 +46,9 @@ object SimilarityOps {
     when(dot > 0, lit(1)).otherwise(lit(0))
   }
 
-  private def bandValue(v: Column, b: Int): Column =
+  /** Composable-column twin of one [[graft.functions.LshBandValues]] lane,
+    * kept as the golden-test reference for the native kernel. */
+  def bandValue(v: Column, b: Int): Column =
     (0 until BandBits).map(r => lshBit(v, b * BandBits + r) * lit(1 << r))
       .reduce(_ + _)
 
@@ -62,13 +64,16 @@ object SimilarityOps {
   def embeddingLshPairs(emb: DataFrame, threshold: Double): DataFrame = {
     val e = emb.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
-    val nBands = LshBits / BandBits
-    val bands = (0 until nBands).map(b =>
-      struct(lit(b).as("band"), bandValue(col("v"), b).as("bv")))
+    // all 16 signature bits in ONE native pass over the vector
+    // ([[graft.functions.LshBandValues]], bit-identical to the per-band
+    // [[bandValue]] HOF chain — golden-spec pinned); posexplode's position
+    // is the band index
     val exploded = e.select(col("vec_id"), col("v"),
-      explode(array(bands: _*)).as("bd"))
+      posexplode(graft.functions.VectorKernels
+        .lshBandsCol(col("v"), LshBits, BandBits, Dim))
+        .as(Seq("band", "bv")))
     val buckets = exploded
-      .groupBy(col("bd.band"), col("bd.bv"))
+      .groupBy(col("band"), col("bv"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("ms"))
       .filter(size(col("ms")) > 1)
     val pairs = flatten(transform(col("ms"), (x, i) =>
@@ -98,9 +103,18 @@ object SimilarityOps {
 
   /** Cosine similarity of two array<double> columns, computed as
     * dot / (sqrt(na) * sqrt(nb)) with sequential left-to-right accumulation
-    * (bit-identical in DuckDB's scalar evaluation).
+    * (bit-identical in DuckDB's scalar evaluation). Native single-pass
+    * kernel ([[graft.functions.CosineSimilarity]]) — bit-identical to
+    * [[cosineHof]], the interpreted HOF chain it replaced (pinned by the
+    * golden spec); the pair-expansion loops evaluate this per candidate
+    * pair, so the per-call constant is the whole game.
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorKernels.cosineCol(a, b)
+
+  /** The composable-column twin of [[cosine]], kept as the golden-test
+    * reference for the native kernel. */
+  def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
     val na = aggregate(transform(a, x => x * x), lit(0.0), _ + _)
     val nb = aggregate(transform(b, x => x * x), lit(0.0), _ + _)

@@ -51,7 +51,7 @@ object TextAnalysis {
         i => struct(element_at(words, i + 1).as("w1"),
           element_at(words, i + 2).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    docs.select(explode(pairs).as("p"))
+    graft.Tables.fanOut(docs).select(explode(pairs).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("n"))
   }
@@ -136,7 +136,7 @@ object TextAnalysis {
     */
   def termSalience(docs: org.apache.spark.sql.DataFrame,
                    k: Int): org.apache.spark.sql.DataFrame = {
-    val tok = docs
+    val tok = graft.Tables.fanOut(docs)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .where(length(col("term")) > 0)
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -183,7 +183,7 @@ object TextAnalysis {
     */
   def invertedIndex(docs: org.apache.spark.sql.DataFrame,
                     k: Int): org.apache.spark.sql.DataFrame = {
-    val presence = docs
+    val presence = graft.Tables.fanOut(docs)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .where(length(col("term")) > 0)
       .distinct()
@@ -209,7 +209,7 @@ object TextAnalysis {
     */
   def bm25(docs: org.apache.spark.sql.DataFrame,
            terms: Seq[String]): org.apache.spark.sql.DataFrame = {
-    val tok = docs
+    val tok = graft.Tables.fanOut(docs)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .where(length(col("term")) > 0)
     // dl feeds BOTH the corpus-stats agg and the scoring join; Catalyst
@@ -250,7 +250,7 @@ object TextAnalysis {
   def vocabEncode(docs: org.apache.spark.sql.DataFrame,
                   maxVocab: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = docs
+    val tok = graft.Tables.fanOut(docs)
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
       .where(length(col("term")) > 0)
@@ -288,7 +288,7 @@ object TextAnalysis {
   def cosinePairsIndexed(docs: org.apache.spark.sql.DataFrame,
                          thrNum: Long, thrDen: Long,
                          maxDfPct: Int): org.apache.spark.sql.DataFrame = {
-    val tf0 = docs
+    val tf0 = graft.Tables.fanOut(docs)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .where(length(col("term")) > 0)
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -331,7 +331,8 @@ object TextAnalysis {
     def bucket(j: Column, token: Column): Column = pmod(
       conv(substring(md5(concat(j.cast("string"), lit(":"), token)), 1, 8),
         16, 10).cast("long"), lit(width.toLong))
-    val tok = docs.select(explode(split(col("text"), " ")).as("token"))
+    val tok = graft.Tables.fanOut(docs)
+      .select(explode(split(col("text"), " ")).as("token"))
       .where(length(col("token")) > 0)
     val cells = tok.select(explode(transform(
         sequence(lit(0), lit(depth - 1)),
@@ -440,7 +441,7 @@ object TextAnalysis {
     */
   def oovRate(docs: org.apache.spark.sql.DataFrame,
               vocabK: Int): org.apache.spark.sql.DataFrame = {
-    val tok = docs
+    val tok = graft.Tables.fanOut(docs)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .where(length(col("token")) > 0)
     val vocab = tok.groupBy("token").agg(count(lit(1)).as("freq"))
@@ -798,7 +799,7 @@ object TextAnalysis {
     QueryEntry(
       "q_decontamination",
       (s, dir) => {
-        val withB = t(s, dir, "documents")
+        val withB = graft.Tables.fanOut(t(s, dir, "documents"))
           .select(col("doc_id"), col("text"), splitBucket.as("bucket"))
         contaminationBetween(
           withB.filter(col("bucket") < 90),
@@ -1044,7 +1045,8 @@ object TextAnalysis {
     // fixed-order IEEE rate-gap so the top-k hashes identically
     QueryEntry(
       "q_dist_drift",
-      (s, dir) => tokenDistributionDrift(t(s, dir, "documents"), 25),
+      (s, dir) => tokenDistributionDrift(
+        graft.Tables.fanOut(t(s, dir, "documents")), 25),
       Some("""WITH b AS (SELECT
             CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT)
               % 100 < 90 AS is_train, text FROM documents),
@@ -1119,7 +1121,7 @@ object TextAnalysis {
     QueryEntry(
       "q_token_diversity",
       (s, dir) => {
-        val tok = t(s, dir, "documents")
+        val tok = graft.Tables.fanOut(t(s, dir, "documents"))
           .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         tok.groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
           .groupBy("doc_id")

@@ -101,9 +101,12 @@ object StreamQueries {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         // deterministic event stream: ts = base + (doc_id % 100) s, fed in
-        // five ts-ordered micro-batches (20 s buckets) so cross-batch
+        // two ts-ordered micro-batches (50 s buckets) so cross-batch
         // arrival order == global (ts, docId) order and the SQL oracle's
-        // window rank reproduces first-wins exactly
+        // window rank reproduces first-wins exactly (the dedup kernel
+        // sorts each group by (ts, docId), so the verdict set is
+        // bucket-size-invariant — two batches still exercise cross-batch
+        // state while keeping micro-batch overhead off the bench)
         val events = Tables.t(s, dir, "documents")
           .select(col("doc_id").cast("long"), col("text"))
           .collect()
@@ -113,7 +116,7 @@ object StreamQueries {
               id.toString, r.getString(1))
           }
         val batches = events
-          .groupBy(e => (e.ts.getTime - EpochBaseMs) / 20000L)
+          .groupBy(e => (e.ts.getTime - EpochBaseMs) / 50000L)
           .toSeq.sortBy(_._1).map(_._2.toSeq)
 
         val mem = MemoryStream[DocEvent]
@@ -156,11 +159,13 @@ object StreamQueries {
     // The second canonical streaming op (after stateful dedup): 6-hour
     // tumbling windows over the events table, counted per (window,
     // event_type) in Append mode behind a 1-hour watermark. Replay feeds
-    // one micro-batch per WEEK — within-batch disorder never drops (drops
-    // are judged against the PREVIOUS batch's watermark, which trails the
-    // next week's data), and weekly batching keeps the per-micro-batch
-    // state-store commit overhead off the bench (daily batching measured
-    // 31 batches ≈ 50 s at sf0.1; weekly ≈ 5). A far-future flush sentinel
+    // one micro-batch per FOUR WEEKS — within-batch disorder never drops
+    // (drops are judged against the PREVIOUS batch's watermark, which
+    // trails the next slice's data — the argument holds for ANY slice
+    // size), and coarse batching keeps the per-micro-batch state-store
+    // commit overhead off the bench (daily batching measured 31 batches
+    // ≈ 50 s at sf0.1; weekly ≈ 5; the 30-day events table yields 2
+    // four-week batches). A far-future flush sentinel
     // then closes every real window so Append emits them all — the oracle
     // is a plain DuckDB epoch-floor rollup.
     QueryEntry(
@@ -177,11 +182,11 @@ object StreamQueries {
           // empty source → empty frame (the oracle's result), not a crash
           s.createDataset(Seq.empty[WindowCount]).toDF()
         } else {
-        val weekMs = 7L * 86400000L
-        val batches = rows.groupBy(e => e.ts.getTime / weekMs)
+        val sliceMs = 28L * 86400000L
+        val batches = rows.groupBy(e => e.ts.getTime / sliceMs)
           .toSeq.sortBy(_._1).map(_._2.toSeq)
         val maxRealTs = rows.map(_.ts.getTime).max
-        val flushTs = new Timestamp(maxRealTs + 52L * weekMs)
+        val flushTs = new Timestamp(maxRealTs + 52L * sliceMs)
 
         val mem = MemoryStream[WindowEvent]
         val sinkName = "q_stream_window_counts_sink"
@@ -396,7 +401,8 @@ object StreamQueries {
 
     // ---- exactly-once Glacier sink through the real engine -----------------
     // Streaming ingestion INTO the snapshot layer ([[GlacierSink]]): the
-    // events table replayed weekly through foreachBatch, each micro-batch
+    // events table replayed in four-week slices through foreachBatch,
+    // each micro-batch
     // an atomic Glacier commit carrying its batch id. After the stream
     // stops, batch 0 is re-delivered by hand (the crash-replay shape) —
     // the sink must skip it, and the ORACLE proves it: any duplicate rows
@@ -414,9 +420,9 @@ object StreamQueries {
           .collect()
           .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
             r.getDouble(3)))
-        val weekMs = 7L * 86400000L
+        val sliceMs = 28L * 86400000L
         val batches = rows
-          .groupBy(_._1.getTime / weekMs).toSeq.sortBy(_._1).map(_._2.toSeq)
+          .groupBy(_._1.getTime / sliceMs).toSeq.sortBy(_._1).map(_._2.toSeq)
         if (batches.isEmpty) {
           // empty source → the oracle's empty frame, not a head() crash
           s.createDataset(Seq.empty[(Long, Long, Double)])
@@ -453,7 +459,9 @@ object StreamQueries {
     // ---- stateful gap sessionization through the real engine ---------------
     // The third canonical streaming op: 30-min-gap sessions per user via
     // flatMapGroupsWithState with event-time timeouts
-    // ([[StreamingSessionize]]), replayed weekly in event-time order. The
+    // ([[StreamingSessionize]]), replayed in event-time-ordered four-week
+    // slices (the watermark-trailing argument makes the emitted session
+    // set slice-size-invariant; see q_stream_window_counts). The
     // oracle is the BATCH sessionizer's SQL verbatim — the stream must
     // reproduce the batch rollups (ordinals, decimal-exact sums) exactly.
     // A far-future sentinel (user -1) advances the watermark so every real
@@ -475,12 +483,12 @@ object StreamQueries {
         if (rows.isEmpty) {
           s.createDataset(Seq.empty[SessionRow]).toDF()
         } else {
-          val weekMs = 7L * 86400000L
-          val batches = rows.groupBy(e => e.ts.getTime / weekMs)
+          val sliceMs = 28L * 86400000L
+          val batches = rows.groupBy(e => e.ts.getTime / sliceMs)
             .toSeq.sortBy(_._1).map(_._2.toSeq)
           val maxRealMs = rows.map(_.ts.getTime).max
           val flush = SessionEvent(
-            new Timestamp(maxRealMs + 52L * weekMs), -1L, 0L, 0.0)
+            new Timestamp(maxRealMs + 52L * sliceMs), -1L, 0L, 0.0)
 
           val mem = MemoryStream[SessionEvent]
           val sinkName = "q_stream_sessionize_replay_sink"
@@ -538,8 +546,8 @@ object StreamQueries {
     // finalizes when the watermark passes session end. Merge rule
     // (diff <= gap joins the run) matches the batch lag-rule twin exactly,
     // so the oracle is the same lag + running-sum SQL aggregated to session
-    // bounds (end = max ts + gap = session_window.end). 5-day replay slices
-    // keep per-micro-batch state commits off the bench; the far-future
+    // bounds (end = max ts + gap = session_window.end). Four-week replay
+    // slices keep per-micro-batch state commits off the bench; the far-future
     // sentinel (user -1, dropped by sign) closes every real session.
     QueryEntry(
       "q_stream_session_window",
@@ -554,7 +562,7 @@ object StreamQueries {
         if (rows.isEmpty) {
           s.createDataset(Seq.empty[SessionOut]).toDF()
         } else {
-          val sliceMs = 5L * 86400000L
+          val sliceMs = 28L * 86400000L
           val batches = rows.groupBy(e => e.ts.getTime / sliceMs)
             .toSeq.sortBy(_._1).map(_._2.toSeq)
           val maxRealTs = rows.map(_.ts.getTime).max

@@ -408,4 +408,76 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got3 === expected3)
   }
+
+  // ---- native-kernel golden tests: each fused Catalyst expression must
+  // reproduce its composable-column twin bit-for-bit (the twin is what the
+  // DuckDB oracle mirrors) --------------------------------------------------
+
+  test("native cosine == HOF cosine, bit-exact incl. mismatch/null/empty") {
+    val vecs = Seq(
+      (1L, Seq(1.0, 2.0, -3.5, 0.25), Seq(0.5, -1.0, 2.0, 4.0)),
+      (2L, Seq(1e-17, 2e300, -3e-7, 1.0), Seq(7.0, 1e-300, 2.25, -8.5)),
+      // (no zero-norm row: under ANSI mode the HOF's Divide throws on
+      // 0/0 where the native kernel yields IEEE NaN — no such vectors
+      // exist in any table, so the forms agree on the evaluated domain)
+      (4L, Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)), // length mismatch → null
+    ).toDF("id", "a", "b")
+    val rows = vecs.select(col("id"),
+      SimilarityOps.cosine(col("a"), col("b")).as("native"),
+      SimilarityOps.cosineHof(col("a"), col("b")).as("hof")).collect()
+    rows.foreach { r =>
+      val n = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+      val h = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      (n, h) match {
+        case (Some(x), Some(y)) =>
+          assert(java.lang.Double.doubleToRawLongBits(x) ===
+            java.lang.Double.doubleToRawLongBits(y), s"id ${r.getLong(0)}")
+        case _ => assert(n.isEmpty === h.isEmpty, s"id ${r.getLong(0)}")
+      }
+    }
+    // null-element vector nulls both forms
+    val withNull = Seq((9L, Seq(Some(1.0), None, Some(2.0)),
+      Seq(Some(1.0), Some(1.0), Some(1.0)))).toDF("id", "a", "b")
+      .select(SimilarityOps.cosine(col("a"), col("b")).as("n"),
+        SimilarityOps.cosineHof(col("a"), col("b")).as("h")).collect()(0)
+    assert(withNull.isNullAt(0) && withNull.isNullAt(1))
+  }
+
+  test("native lsh bands == per-band HOF bandValue on 64-dim vectors") {
+    val rng = new scala.util.Random(42)
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Seq.fill(64)(rng.nextGaussian()))).toDF("id", "v")
+    val native = vecs.select(col("id"),
+      graft.functions.VectorKernels.lshBandsCol(col("v"), 16, 4, 64).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val hof = vecs.select(col("id"),
+      array((0 until 4).map(b => SimilarityOps.bandValue(col("v"), b)): _*)
+        .as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(native === hof)
+    // wrong-dimension vector: every band 0 on both forms (zip_with pads
+    // with null → null dot → otherwise(0))
+    val short = Seq((1L, Seq(1.0, 2.0))).toDF("id", "v")
+    val ns = short.select(graft.functions.VectorKernels
+      .lshBandsCol(col("v"), 16, 4, 64).as("b")).collect()(0).getSeq[Int](0)
+    val hs = short.select(array((0 until 4)
+      .map(b => SimilarityOps.bandValue(col("v"), b)): _*).as("b"))
+      .collect()(0).getSeq[Int](0)
+    assert(ns === Seq(0, 0, 0, 0) && hs === ns)
+  }
+
+  test("native simhash16 == HOF simhash16, incl. empty and multi-space") {
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, ""), // split -> [""] (one empty word)
+      (3L, "a  b"), // double space -> empty middle token
+      (4L, "unicode naïve café ñandú 日本語"),
+      (5L, "x"),
+    ).toDF("doc_id", "text")
+    val rows = texts.select(col("doc_id"),
+      DedupOps.simhash16(col("text")).as("native"),
+      DedupOps.simhash16Hof(col("text")).as("hof")).collect()
+    rows.foreach(r =>
+      assert(r.getLong(1) === r.getLong(2), s"doc ${r.getLong(0)}"))
+  }
 }
