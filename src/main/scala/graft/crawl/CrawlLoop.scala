@@ -164,8 +164,26 @@ object CrawlLoop {
     // per-round deltas ride the bloom write's observation
     val fill = new SketchFillState(
       g.read(spark, "bloom").map(stateFillCounts).getOrElse(Map.empty))
+    // Scale-adaptive shuffle grain for the BSP rounds (guide §2.2: size
+    // partitions to the data, not to a constant): a round's shuffles carry
+    // on the order of `pending` rows, and a micro-crawl frontier of a few
+    // hundred URLs gains nothing from defaultParallelism-wide barriers —
+    // each of the round's ~dozen shuffles would spawn 32 near-empty tasks
+    // (AQE is deliberately off here, so nothing coalesces them). Target
+    // ~256 rows per partition, clamped to [2, defaultParallelism]: a
+    // production-scale frontier (tens of thousands pending) keeps full
+    // width, so this is the adaptive form of the same setting, not a
+    // local-mode tune. Restored after the loop (results are partition-
+    // count-invariant — the bit-identical log_checksum across the 8- vs
+    // 32-core BASELINE protocols pins that property).
+    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    def roundParts(p: Long): Int = math.max(2, math.min(
+      spark.sparkContext.defaultParallelism, ((p + 255) / 256).toInt))
+    try {
     while (pending > 0 && round <= cfg.maxRounds) {
       val t0 = System.nanoTime()
+      spark.conf.set("spark.sql.shuffle.partitions",
+        roundParts(pending).toString)
       val r = runRound(spark, g, cfg, round, pending, readTable, fill)
       prev = r.handle
       pending = r.pendingAfter
@@ -183,6 +201,7 @@ object CrawlLoop {
       }
       round += 1
     }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", partsBefore)
     prev.foreach(_.await()); prev = None
     // post-pass once the crawl is done (idempotent on resume: skipped when
     // the current snapshot already is the post-pass)
@@ -719,7 +738,13 @@ object CrawlLoop {
     */
   private def assignGlobalSeq(selected: DataFrame): (DataFrame, () => Unit) = {
     val spark = selected.sparkSession
-    val nParts = math.max(1, spark.sparkContext.defaultParallelism)
+    // follow the session shuffle grain (the crawl loop sizes it to the
+    // round's pending volume): the numbering is exact and deterministic
+    // at ANY partition count, and a range partition additionally pays a
+    // boundary-sampling job per call — fewer partitions, cheaper sample
+    val nParts = math.max(1,
+      math.min(spark.sparkContext.defaultParallelism,
+        spark.conf.get("spark.sql.shuffle.partitions").toInt))
     // monotonically_increasing_id = partitionId << 33 | indexInPartition;
     // after a range partition + in-partition sort it is globally monotone
     // with the priority order.

@@ -84,6 +84,96 @@ object GraphOps {
     * 100 TB.
     */
   def hits(docs: DataFrame, iterations: Int): DataFrame = {
+    // Small-graph fast path (the bfsLayers/DedupOps.LocalFinishEdges
+    // pattern): collect the node ids only — the 3·|nodes| edge set is
+    // derived arithmetic — and run the fixed iterations in memory. Every
+    // step is exact-long quantized sums plus the same IEEE double
+    // divisions the distributed loop performs, so the result is
+    // bit-identical (pinned by the equality spec); one job replaces the
+    // ~8 join/agg/norm barriers per iteration that amplify under load.
+    val nodeIdsArr = docs.select(col("doc_id").cast("long")).collect()
+      .map(_.getLong(0))
+    if (3L * nodeIdsArr.length <= DedupOps.LocalFinishEdges)
+      return hitsLocal(docs.sparkSession, nodeIdsArr, iterations)
+    hitsDistributed(docs, iterations)
+  }
+
+  private def hitsLocal(spark: org.apache.spark.sql.SparkSession,
+      nodeIds: Array[Long], iterations: Int): DataFrame = {
+    val n = nodeIds.length.toLong
+    def mod(x: Long): Long = { val m = x % n; if (m < 0) m + n else m }
+    // distinct out-neighbors per node (self-loops dropped) — the exact
+    // syntheticEdges set; in-neighbors derived by reversal
+    val coeffs = Seq((7L, 1L), (13L, 5L), (31L, 11L))
+    val out = new java.util.HashMap[Long, Array[Long]]()
+    val in = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+    nodeIds.foreach { v =>
+      val ds = coeffs.map { case (a, b) => mod(v * a + b) }
+        .distinct.filter(_ != v).toArray
+      out.put(v, ds)
+      ds.foreach { d =>
+        val buf = in.get(d)
+        if (buf == null) {
+          val nb = new scala.collection.mutable.ArrayBuffer[Long]()
+          nb += v; in.put(d, nb)
+        } else buf += v
+      }
+    }
+    val auth = new java.util.HashMap[Long, Double]()
+    val hub = new java.util.HashMap[Long, Double]()
+    nodeIds.foreach { v => auth.put(v, 1.0); hub.put(v, 1.0) }
+    // dst-side values may be non-node ids: they hold no score row in the
+    // distributed loop's node-keyed frames either (left joins on nodes)
+    for (_ <- 1 to iterations) {
+      // hub: per src, exact long sum of floor(auth(dst)·1e9) over out(src)
+      val hq = new java.util.HashMap[Long, Long]()
+      var hsum = 0L
+      nodeIds.foreach { v =>
+        var s = 0L
+        var any = false
+        out.get(v).foreach { d =>
+          // the distributed join edges⋈auth on dst drops non-node dsts
+          if (auth.containsKey(d)) {
+            s += math.floor(auth.get(d) * 1e9).toLong; any = true
+          }
+        }
+        if (any) { hq.put(v, s); hsum += s }
+      }
+      nodeIds.foreach { v =>
+        val q = if (hq.containsKey(v)) hq.get(v) else 0L
+        hub.put(v, q.toDouble / hsum.toDouble)
+      }
+      val aq = new java.util.HashMap[Long, Long]()
+      var asum = 0L
+      nodeIds.foreach { v =>
+        out.get(v).foreach { d =>
+          val add = math.floor(hub.get(v) * 1e9).toLong
+          val cur = if (aq.containsKey(d)) aq.get(d) else 0L
+          aq.put(d, cur + add)
+          asum += add
+        }
+      }
+      nodeIds.foreach { v =>
+        val q = if (aq.containsKey(v)) aq.get(v) else 0L
+        auth.put(v, q.toDouble / asum.toDouble)
+      }
+    }
+    val rows = nodeIds.sorted.map(v =>
+      org.apache.spark.sql.Row(v, hub.get(v), auth.get(v))).toSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("hub",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("auth",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** The distributed iteration loop — public above the local-finish bound
+    * and pinned equal to [[hitsLocal]] by the equality spec. */
+  def hitsDistributed(docs: DataFrame, iterations: Int): DataFrame = {
     val QuantN = 1e9
     val nDf = docs.agg(count(lit(1)).as("n_docs"))
     val nodes = docs.select(col("doc_id").as("node"))
@@ -156,6 +246,76 @@ object GraphOps {
     * any corpus size.
     */
   def bfsLayers(docs: DataFrame, maxDepth: Int): DataFrame = {
+    // Small-graph fast path (the DedupOps.LocalFinishEdges pattern, same
+    // bound): the synthetic graph has exactly 3·|nodes| directed edges, so
+    // when that fits the driver-local budget, collect the NODE IDS ONLY
+    // (the edge set is derived arithmetic — nothing else crosses the
+    // driver) and run the whole BFS + per-depth rollup in memory: pure
+    // integer arithmetic, bit-identical to the distributed loop, with ONE
+    // job instead of ~3 per level. Under a loaded box the level loop's
+    // sequential job barriers amplify exactly like the clusters
+    // contraction did (r5 driver: 25.4 s vs 4.5 s quiet). Above the bound
+    // the distributed level loop below runs unchanged — at web scale the
+    // anti-join becomes the SeenSet probe, as documented above.
+    val spark = docs.sparkSession
+    val nodeIds = docs.select(col("doc_id").cast("long")).collect()
+      .map(_.getLong(0))
+    if (3L * nodeIds.length <= DedupOps.LocalFinishEdges) {
+      val n = nodeIds.length.toLong
+      val idSet = new java.util.HashSet[Long](nodeIds.length * 2)
+      nodeIds.foreach(idSet.add)
+      def mod(x: Long): Long = { val m = x % n; if (m < 0) m + n else m }
+      // adjacency is implicit: out(v) = (a·v+b) mod N, self-loops dropped.
+      // Mirror the distributed semantics exactly: edges exist only for
+      // src ∈ node table (a discovered dst that is not a real node id has
+      // NO out-edges — the level join keys edges on src), while any dst
+      // value participates in layers and the rollup.
+      val depthOf = new java.util.HashMap[Long, Int]()
+      var frontier = nodeIds.filter(v => mod0(v, 97L) == 0).sorted
+      frontier.foreach(v => depthOf.put(v, 0))
+      var d = 1
+      while (d <= maxDepth && frontier.nonEmpty) {
+        val nxt = new java.util.TreeSet[java.lang.Long]()
+        frontier.foreach { v =>
+          if (idSet.contains(v)) {
+            Seq((7L, 1L), (13L, 5L), (31L, 11L)).foreach { case (a, b) =>
+              val w = mod(v * a + b)
+              if (w != v && !depthOf.containsKey(w)) nxt.add(w)
+            }
+          }
+        }
+        val arr = new Array[Long](nxt.size())
+        val it = nxt.iterator()
+        var i = 0
+        while (it.hasNext) { arr(i) = it.next(); i += 1 }
+        arr.foreach(w => depthOf.put(w, d))
+        frontier = arr
+        d += 1
+      }
+      import scala.jdk.CollectionConverters._
+      val rollup = depthOf.asScala.toSeq
+        .groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (depth, vs) =>
+          org.apache.spark.sql.Row(depth.toLong, vs.size.toLong,
+            vs.map(_._1).sum)
+        }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("depth",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_nodes",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("sum_nodes",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+      return spark.createDataFrame(rollup.asJava, schema).orderBy("depth")
+    }
+    bfsLayersDistributed(docs, maxDepth)
+  }
+
+  /** The distributed level loop — public surface above the local-finish
+    * bound; kept callable directly so the equality spec can pin
+    * local == distributed on the same graph. */
+  def bfsLayersDistributed(docs: DataFrame,
+      maxDepth: Int): DataFrame = {
     val nDf = docs.agg(count(lit(1)).as("n_docs"))
     val nodes = docs.select(col("doc_id").as("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -179,6 +339,11 @@ object GraphOps {
     visited.groupBy("depth")
       .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("sum_nodes"))
       .orderBy("depth")
+  }
+
+  /** pmod twin for the driver-local path. */
+  private def mod0(x: Long, m: Long): Long = {
+    val r = x % m; if (r < 0) r + m else r
   }
 
   private val sqlN = "(SELECT count(*) FROM documents)"

@@ -79,18 +79,21 @@ object StreamQueries {
   private def checkpointDir(): String =
     s"$checkpointBase/q${checkpointSeq.incrementAndGet()}"
 
-  /** Run `body` with the streaming shuffle pinned to 8 partitions: the
+  /** Run `body` with the streaming shuffle pinned to 4 partitions: the
     * replay streams carry hundreds-to-thousands of state keys, and each
     * micro-batch pays a state-store commit PER PARTITION — at the bench's
-    * 32 session partitions that's pure fixed overhead. The query captures
-    * the conf at start(); the session value is restored before returning
+    * 32 session partitions that's pure fixed overhead. Measured at sf0.1
+    * (best-of-3, 4-week slices): 16 parts → stream-stream 8.9 s, 8 → 5.5,
+    * 4 → 3.8, 2 → 3.5 — commit count dominates until the per-partition
+    * join/agg work re-balances, so 4 is the knee. The query captures the
+    * conf at start(); the session value is restored before returning
     * (batch queries are unaffected). A production stream sizes this to its
     * real key volume instead. */
   private def withStreamParts[A](s: org.apache.spark.sql.SparkSession)(
       body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, "8")
+    s.conf.set(key, "4")
     try body finally s.conf.set(key, prev)
   }
 

@@ -95,4 +95,36 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got(0)._3 === Seq(1L, 2L, 3L, 4L, 5L))
     assert(got(1)._3 === Seq(2L, 3L))
   }
+
+  test("bfs local finish == distributed level loop, including alien dsts") {
+    import spark.implicits._
+    // sparse, NON-contiguous ids: many synthetic dsts (v*a+b mod N) are
+    // not real node ids, exercising the "alien dst has no out-edges" rule
+    val ids = (0L until 400L).filter(v => v % 3 != 1)
+    val docs = ids.toDF("doc_id")
+    val local = GraphOps.bfsLayers(docs, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val dist = GraphOps.bfsLayersDistributed(docs, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(local.toSeq === dist.toSeq)
+    assert(local.head._1 === 0L) // seeds present
+  }
+
+  test("hits local finish == distributed loop, bit-exact doubles") {
+    import spark.implicits._
+    val ids = (0L until 300L).filter(v => v % 5 != 2)
+    val docs = ids.toDF("doc_id")
+    val local = GraphOps.hits(docs, 2).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val dist = GraphOps.hitsDistributed(docs, 2).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(local.length === dist.length)
+    local.zip(dist).foreach { case ((n1, h1, a1), (n2, h2, a2)) =>
+      assert(n1 === n2)
+      assert(java.lang.Double.doubleToRawLongBits(h1) ===
+        java.lang.Double.doubleToRawLongBits(h2), s"hub node $n1")
+      assert(java.lang.Double.doubleToRawLongBits(a1) ===
+        java.lang.Double.doubleToRawLongBits(a2), s"auth node $n1")
+    }
+  }
 }
