@@ -27,7 +27,17 @@ object BucketedOps {
                     buckets: Int, key: String): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    df.write.mode("overwrite").format("parquet").option("path", path)
+    // Pre-partition by the bucket key into `buckets` partitions: hash
+    // repartitioning and bucket assignment share the same
+    // pmod(murmur3(key), n), so each write task holds exactly one
+    // bucket's rows — the sort+write runs `buckets`-way parallel and
+    // still emits ONE file per bucket. Without this, a single-split
+    // input writes every bucket from one task (the sf tables are one
+    // row group — see Tables.fanOut), and a many-partition input at
+    // scale would emit partitions×buckets files. Read side and join
+    // plan are unchanged (BucketedOpsSpec pins the exchange-free shape).
+    df.repartition(buckets, col(key)).write.mode("overwrite")
+      .format("parquet").option("path", path)
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
   }
 

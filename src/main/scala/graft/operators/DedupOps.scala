@@ -117,7 +117,7 @@ object DedupOps {
     * first (lowest-id) keeper and the duplicate count.
     */
   def exactDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.groupBy(md5(col(textCol)).as("content_hash"))
+    Tables.fanOut(docs).groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** Banded MinHash signatures: one (doc, band_idx, band_hash) row per LSH

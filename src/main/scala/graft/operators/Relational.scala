@@ -1190,7 +1190,10 @@ object Relational {
         def mightContain(h: Column): Column =
           (element_at(wordArr, (h / lit(64)).cast("int") + 1)
             .bitwiseAND(element_at(maskArr, (h % 64).cast("int") + 1))) =!= 0
-        val li = t(s, dir, "lineitem")
+        // fan the single-split scan out before the per-row double-md5
+        // bloom probe (the join exchange below is unchanged — the bloom
+        // still prunes before it)
+        val li = Tables.fanOut(t(s, dir, "lineitem"))
           .select(col("l_orderkey"), col("l_extendedprice"))
         val pruned = li
           .filter(mightContain(h1(col("l_orderkey"))) &&
