@@ -16,8 +16,24 @@ object Tables {
   /** Read one of the driver-generated parquet tables under `dir`. Plain
     * `spark.read.parquet` so Catalyst keeps full pushdown/pruning freedom.
     */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Footer-schema memo: the sf parquet files are immutable for a JVM's
+    * lifetime, but every `spark.read.parquet` without an explicit schema
+    * pays a driver-side footer read + schema merge per call — ~10-30 ms
+    * that the 170-query bench pays several hundred times. Memoizing the
+    * STRUCTTYPE (metadata only — never rows, never results) and passing
+    * it explicitly keeps the scan plan byte-identical while skipping the
+    * repeated inference. Keyed per (session, path) so a restarted session
+    * or a different dir never sees a stale schema. */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      org.apache.spark.sql.types.StructType]()
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaMemo.computeIfAbsent((spark, path),
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** Scale-adaptive scan fan-out for compute-heavy per-row pipelines.
     *

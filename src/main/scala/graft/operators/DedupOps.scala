@@ -291,10 +291,16 @@ object DedupOps {
     * the surviving candidate pairs (near-linear in the true dup count).
     */
   def incrementalNearDup(docs: DataFrame, threshold: Double): DataFrame = {
-    val withB = docs.select(col("doc_id"), col("text"),
-      TextAnalysis.splitBucket.as("bucket"))
-    val nb = bandedSignatures(withB.filter(col("bucket") >= 90), "text", "doc_id")
-    val ob = bandedSignatures(withB.filter(col("bucket") < 90), "text", "doc_id")
+    // sign the corpus ONCE and split the banded frame by the
+    // content-addressed bucket (recomputable from the id alone): banding
+    // is per-doc, so filtering before or after signing is equivalent —
+    // before this the delta and corpus branches each ran their own full
+    // shingle+signature pass. The pinned frame serves both filters.
+    val bands = bandedSignatures(docs, "text", "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucket = TextAnalysis.splitBucketOf(col("doc"))
+    val nb = bands.filter(bucket >= 90)
+    val ob = bands.filter(bucket < 90)
     val cand = nb.select(col("doc").as("new_doc"), col("band_idx"), col("band_hash"))
       .join(ob.select(col("doc").as("dup_of"), col("band_idx"), col("band_hash")),
         Seq("band_idx", "band_hash"))

@@ -59,8 +59,12 @@ object TextAnalysis {
   /** Content-addressed split bucket (0..99) — md5-head of the salted id.
     * Shared by `q_train_split` and `q_decontamination`.
     */
-  def splitBucket: Column = pmod(
-    conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 8),
+  def splitBucket: Column = splitBucketOf(col("doc_id"))
+
+  /** [[splitBucket]] over an arbitrary id column (the banded-signature
+    * frame names its id `doc`). */
+  def splitBucketOf(id: Column): Column = pmod(
+    conv(substring(md5(concat(lit("split:"), id)), 1, 8),
       16, 10).cast("long"), lit(100L))
 
   /** Test-set contamination detection: one row per eval doc that shares at

@@ -263,8 +263,9 @@ object StreamQueries {
         if (rows.isEmpty) {
           s.createDataset(Seq.empty[SegmentWindowCount]).toDF()
         } else {
-          // 4-week batches (stream-stream precedent above): the static
-          // side is re-broadcast and the join re-planned EVERY micro-batch,
+          // 4-week batches (the q_stream_stream_join precedent, defined
+          // below in this file): the static side is re-broadcast and the
+          // join re-planned EVERY micro-batch,
           // so batch count — not row count — dominates this replay; the
           // window aggregate is event-time-keyed and the flush sentinel
           // closes every window, so the emitted set is batching-invariant
@@ -274,8 +275,12 @@ object StreamQueries {
           val maxRealTs = rows.map(_.ts.getTime).max
           val flush = EnrichEvent(
             new Timestamp(maxRealTs + 52L * sliceMs), -1L, 0.0)
+          // pinned: the engine re-plans and re-broadcasts the static side
+          // EVERY micro-batch — serve those rebuilds from the block cache
+          // instead of re-reading parquet each time
           val dim = Tables.t(s, dir, "customer")
             .select(col("c_custkey"), col("c_mktsegment"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
           val mem = MemoryStream[EnrichEvent]
           val sinkName = "q_stream_static_join_sink"
