@@ -427,9 +427,13 @@ object DedupOps {
     QueryEntry(
       "q_minhash_sig",
       (s, dir) => {
-        val docs = t(s, dir, "documents")
+        // fan-out + cheap word-count gate (the bandedSignatures pattern:
+        // size(shingles) > 0 ⟺ words >= k, without building the shingle
+        // array a second time inside the Filter operator)
+        val docs = Tables.fanOut(t(s, dir, "documents"))
+          .filter(size(split(col("text"), " ")) >= ShingleSize)
         val sh = shingles(col("text"))
-        val withArr = docs.filter(size(sh) > 0)
+        val withArr = docs
           .select(col("doc_id"), minhashSigArray(s, sh).as("__sigs"))
         val sigs = (0 until NumHashes)
           .map(i => element_at(col("__sigs"), i + 1).as(s"sig_$i"))
